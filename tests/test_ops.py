@@ -1,0 +1,233 @@
+"""Unit tests for the ops layer against brute-force numpy references.
+
+Covers the contracts of the reference CUDA pointops kernels (SURVEY.md §2.1) and the
+dense pointnet2_utils primitives (§2.2): FPS determinism + seed point, exact kNN,
+ball-query lowest-index semantics, inverse-distance interpolation weights.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toothgroupnetwork_tpu.ops import (
+    square_distance,
+    index_points,
+    farthest_point_sample,
+    knn_points,
+    ball_query,
+    knn_interpolate,
+    sample_and_group,
+)
+
+
+def np_sqdist(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+def np_fps(xyz, m, valid=None):
+    n = xyz.shape[0]
+    if valid is None:
+        valid = np.ones(n, bool)
+    dist = np.where(valid, np.inf, -np.inf)
+    idxs = np.zeros(m, np.int64)
+    last = int(np.argmax(valid))
+    idxs[0] = last
+    for i in range(1, m):
+        d = ((xyz - xyz[last]) ** 2).sum(-1)
+        dist = np.minimum(dist, np.where(valid, d, -np.inf))
+        last = int(np.argmax(dist))
+        idxs[i] = last
+    return idxs
+
+
+class TestSquareDistance:
+    def test_matches_numpy(self, rng):
+        a = rng.standard_normal((17, 3)).astype(np.float32)
+        b = rng.standard_normal((29, 3)).astype(np.float32)
+        got = np.asarray(square_distance(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(got, np_sqdist(a, b), atol=1e-4)
+
+    def test_batched(self, rng):
+        a = rng.standard_normal((2, 5, 3)).astype(np.float32)
+        got = np.asarray(square_distance(jnp.array(a), jnp.array(a)))
+        for i in range(2):
+            np.testing.assert_allclose(got[i], np_sqdist(a[i], a[i]), atol=1e-4)
+        assert (np.diagonal(got, axis1=1, axis2=2) < 1e-5).all()
+
+
+class TestIndexPoints:
+    def test_2d_idx(self, rng):
+        pts = rng.standard_normal((2, 10, 4)).astype(np.float32)
+        idx = rng.integers(0, 10, (2, 5))
+        got = np.asarray(index_points(jnp.array(pts), jnp.array(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b, idx[b]])
+
+    def test_3d_idx(self, rng):
+        pts = rng.standard_normal((2, 10, 4)).astype(np.float32)
+        idx = rng.integers(0, 10, (2, 5, 3))
+        got = np.asarray(index_points(jnp.array(pts), jnp.array(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b][idx[b]])
+
+
+class TestFPS:
+    def test_matches_bruteforce(self, rng):
+        xyz = rng.standard_normal((100, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 16))
+        np.testing.assert_array_equal(got, np_fps(xyz, 16))
+
+    def test_seeds_first_point(self, rng):
+        xyz = rng.standard_normal((50, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 8))
+        assert got[0] == 0
+
+    def test_masked_never_selects_invalid(self, rng):
+        xyz = rng.standard_normal((60, 3)).astype(np.float32)
+        valid = np.ones(60, bool)
+        valid[40:] = False
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 20, jnp.array(valid)))
+        assert (got < 40).all()
+        np.testing.assert_array_equal(got, np_fps(xyz, 20, valid))
+
+    def test_masked_seed_is_first_valid(self, rng):
+        xyz = rng.standard_normal((30, 3)).astype(np.float32)
+        valid = np.ones(30, bool)
+        valid[:5] = False
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 4, jnp.array(valid)))
+        assert got[0] == 5
+
+    def test_batched(self, rng):
+        xyz = rng.standard_normal((3, 40, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 10))
+        for b in range(3):
+            np.testing.assert_array_equal(got[b], np_fps(xyz[b], 10))
+
+    def test_unique_when_enough_points(self, rng):
+        xyz = rng.standard_normal((100, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sample(jnp.array(xyz), 50))
+        assert len(set(got.tolist())) == 50
+
+
+class TestKNN:
+    def test_exact(self, rng):
+        q = rng.standard_normal((33, 3)).astype(np.float32)
+        p = rng.standard_normal((77, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(q), jnp.array(p), 5)
+        d = np_sqdist(q, p)
+        want_idx = np.argsort(d, axis=-1)[:, :5]
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(want_idx, -1))
+        want_d = np.sqrt(np.take_along_axis(d, want_idx, -1))
+        np.testing.assert_allclose(np.asarray(dist), want_d, atol=1e-3)
+
+    def test_sorted_ascending(self, rng):
+        q = rng.standard_normal((10, 3)).astype(np.float32)
+        p = rng.standard_normal((50, 3)).astype(np.float32)
+        _, dist = knn_points(jnp.array(q), jnp.array(p), 7)
+        d = np.asarray(dist)
+        assert (np.diff(d, axis=-1) >= -1e-6).all()
+
+    def test_chunking_consistent(self, rng):
+        q = rng.standard_normal((100, 3)).astype(np.float32)
+        p = rng.standard_normal((64, 3)).astype(np.float32)
+        i1, d1 = knn_points(jnp.array(q), jnp.array(p), 4, chunk=16)
+        i2, d2 = knn_points(jnp.array(q), jnp.array(p), 4, chunk=100)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    def test_mask_excludes_invalid(self, rng):
+        q = rng.standard_normal((8, 3)).astype(np.float32)
+        p = rng.standard_normal((20, 3)).astype(np.float32)
+        valid = np.ones(20, bool)
+        valid[10:] = False
+        idx, _ = knn_points(jnp.array(q), jnp.array(p), 3, p_mask=jnp.array(valid))
+        assert (np.asarray(idx) < 10).all()
+
+    def test_batched(self, rng):
+        q = rng.standard_normal((2, 12, 3)).astype(np.float32)
+        p = rng.standard_normal((2, 30, 3)).astype(np.float32)
+        idx, _ = knn_points(jnp.array(q), jnp.array(p), 3)
+        for b in range(2):
+            d = np_sqdist(q[b], p[b])
+            want = np.argsort(d, -1)[:, :3]
+            np.testing.assert_array_equal(np.sort(np.asarray(idx[b]), -1),
+                                          np.sort(want, -1))
+
+
+class TestBallQuery:
+    def test_lowest_index_in_ball(self, rng):
+        # Reference semantics: k lowest-INDEX points within radius.
+        xyz = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+        q = xyz[:6]
+        r, k = 0.8, 5
+        idx = np.asarray(ball_query(r, k, jnp.array(xyz), jnp.array(q)))
+        d = np_sqdist(q, xyz)
+        for i in range(6):
+            inball = np.nonzero(d[i] <= r * r)[0]
+            want = inball[:k]
+            if len(want) < k:
+                want = np.concatenate([want, np.full(k - len(want), want[0])])
+            np.testing.assert_array_equal(idx[i], want)
+
+    def test_empty_ball_falls_back_to_nearest(self):
+        xyz = jnp.array([[0.0, 0, 0], [10.0, 0, 0]])
+        q = jnp.array([[9.0, 0, 0]])
+        idx = np.asarray(ball_query(0.5, 3, xyz, q))
+        assert (idx == 1).all()
+
+    def test_masked(self, rng):
+        xyz = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+        valid = np.ones(30, bool)
+        valid[0] = False
+        q = xyz[5:8]
+        idx = np.asarray(
+            ball_query(2.0, 4, jnp.array(xyz), jnp.array(q), jnp.array(valid)))
+        assert (idx != 0).all()
+
+
+class TestInterpolate:
+    def test_weights_match_reference_formula(self, rng):
+        src = rng.standard_normal((20, 3)).astype(np.float32)
+        feat = rng.standard_normal((20, 6)).astype(np.float32)
+        tgt = rng.standard_normal((9, 3)).astype(np.float32)
+        got = np.asarray(knn_interpolate(jnp.array(tgt), jnp.array(src),
+                                         jnp.array(feat), 3))
+        d = np.sqrt(np_sqdist(tgt, src))
+        nn = np.argsort(d, -1)[:, :3]
+        dd = np.take_along_axis(d, nn, -1)
+        recip = 1.0 / (dd + 1e-8)
+        w = recip / recip.sum(-1, keepdims=True)
+        want = (feat[nn] * w[..., None]).sum(1)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_exact_at_source_points(self, rng):
+        src = rng.standard_normal((15, 3)).astype(np.float32)
+        feat = rng.standard_normal((15, 4)).astype(np.float32)
+        got = np.asarray(knn_interpolate(jnp.array(src), jnp.array(src),
+                                         jnp.array(feat), 3))
+        # distance 0 -> weight ~1 on self
+        np.testing.assert_allclose(got, feat, atol=1e-3)
+
+
+class TestSampleAndGroup:
+    def test_shapes(self, rng):
+        xyz = rng.standard_normal((2, 64, 3)).astype(np.float32)
+        feat = rng.standard_normal((2, 64, 5)).astype(np.float32)
+        new_xyz, new_points, fps_idx, idx = sample_and_group(
+            16, 0.5, 8, jnp.array(xyz), jnp.array(feat))
+        assert new_xyz.shape == (2, 16, 3)
+        assert new_points.shape == (2, 16, 8, 8)
+        assert fps_idx.shape == (2, 16)
+        assert idx.shape == (2, 16, 8)
+
+    def test_recentred(self, rng):
+        xyz = rng.standard_normal((1, 32, 3)).astype(np.float32)
+        new_xyz, new_points, fps_idx, idx = sample_and_group(
+            8, 10.0, 4, jnp.array(xyz))
+        # with huge radius, first neighbor of each center is lowest index in ball
+        # grouped coords are recentered: grouped - center
+        g = np.asarray(new_points)
+        centers = np.asarray(new_xyz)
+        raw = xyz[0][np.asarray(idx)[0]]
+        np.testing.assert_allclose(g[0], raw - centers[0][:, None, :], atol=1e-5)

@@ -1,0 +1,100 @@
+"""Farthest point sampling.
+
+TPU-native equivalent of the reference's CUDA ``furthestsampling`` kernel
+(reference: external_libs/pointops/src/sampling/sampling_cuda_kernel.cu:14-129) and its
+dense wrapper (external_libs/pointnet2_utils/pointnet2_utils.py:87-98).
+
+Contract (matching the CUDA kernel):
+  * seeds with the first (valid) point of the cloud (sampling_cuda_kernel.cu:39),
+  * each iteration picks the point with maximum distance-to-selected-set
+    (running min-distance buffer, argmax per iteration),
+  * O(N * M) total work — inherently sequential over the M samples.
+
+The jnp implementation is a ``lax.fori_loop`` whose per-iteration distance update is a
+fully vectorized ``[N]`` op (VPU-friendly). A fused Pallas kernel that keeps xyz and the
+running min-distance resident in VMEM lives in ``ops.pallas.fps_kernel`` and is selected
+with ``impl='pallas'`` (or TGN_TPU_KERNELS=pallas).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.inf
+
+
+def _default_impl() -> str:
+    return os.environ.get("TGN_TPU_KERNELS", "jnp")
+
+
+@partial(jax.jit, static_argnames=("n_samples", "impl"))
+def farthest_point_sample(
+    xyz: jnp.ndarray,
+    n_samples: int,
+    mask: jnp.ndarray | None = None,
+    *,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Iterative farthest point sampling.
+
+    Args:
+      xyz: ``[N, 3]`` or ``[B, N, 3]`` point coordinates.
+      mask: optional ``[N]`` / ``[B, N]`` bool validity mask. Invalid points are never
+        selected. If fewer than ``n_samples`` points are valid, indices repeat
+        (selection of already-selected points, whose min-distance is 0, only happens
+        once all valid points are exhausted — the repeats are valid points).
+      n_samples: number of points to select (static).
+
+    Returns:
+      int32 indices, ``[n_samples]`` or ``[B, n_samples]``.
+    """
+    if xyz.ndim == 3:
+        if mask is None:
+            mask = jnp.ones(xyz.shape[:2], dtype=bool)
+        return jax.vmap(lambda p, m: farthest_point_sample(p, n_samples, m, impl=impl))(
+            xyz, mask
+        )
+
+    if impl is None:
+        impl = _default_impl()
+    if impl == "pallas":
+        from .pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(xyz, n_samples, mask)
+
+    n = xyz.shape[0]
+    if mask is None:
+        valid = jnp.ones((n,), dtype=bool)
+    else:
+        valid = mask.astype(bool)
+    xyz = xyz.astype(jnp.float32)
+
+    # Seed with the first valid point (== point 0 for unpadded clouds, matching
+    # sampling_cuda_kernel.cu:39).
+    start = jnp.argmax(valid).astype(jnp.int32)
+
+    # Running min squared distance to the selected set. Invalid points pinned to -inf
+    # so argmax never picks them.
+    neg = jnp.where(valid, _BIG, -_BIG)
+
+    def body(i, carry):
+        dist, idxs, last = carry
+        delta = xyz - xyz[last]
+        d = jnp.sum(delta * delta, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid, d, -_BIG))
+        nxt = jnp.argmax(dist).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return dist, idxs, nxt
+
+    idxs0 = jnp.zeros((n_samples,), dtype=jnp.int32).at[0].set(start)
+    _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (neg, idxs0, start))
+    return idxs
+
+
+def fps(xyz: jnp.ndarray, n_samples: int, mask=None, *, impl=None) -> jnp.ndarray:
+    """Alias of :func:`farthest_point_sample` (reference gen_utils.py:135-140 name)."""
+    return farthest_point_sample(xyz, n_samples, mask, impl=impl)
