@@ -18,3 +18,5 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))

@@ -1,0 +1,118 @@
+"""Mesh IO: .obj parsing and vertex-normal computation.
+
+Replaces the reference's ``gen_utils.read_txt_obj_ls`` (reference: gen_utils.py:201-241),
+which parses ``v``/``f`` lines manually and uses open3d's ``compute_vertex_normals``.
+Neither open3d nor trimesh exists in this environment, so both halves are implemented
+here in numpy; a C++ fast path (``native/``) can be slotted in for the parser, the usual
+preprocessing bottleneck.
+
+Vertex-normal contract (matching open3d): per-face normals from the cross product of
+edge vectors (unnormalized — i.e. area-weighted), scatter-added to the three corner
+vertices, then L2-normalized per vertex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fast_obj import parse_obj_fast
+
+
+def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a Wavefront .obj file.
+
+    Handles ``v x y z`` vertex lines and ``f`` faces in the forms ``f a b c``,
+    ``f a//n b//n c//n``, and ``f a/t/n ...`` (the reference only handles the first
+    two, gen_utils.py:218-223). Only the first three face indices are used
+    (triangulated inputs). Indices are returned 0-based.
+
+    Returns:
+      (vertices [N, 3] float64, faces [F, 3] int64)
+    """
+    fast = parse_obj_fast(path)
+    if fast is not None:
+        return fast
+    verts = []
+    faces = []
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split()
+            if not line:
+                continue
+            tag = line[0]
+            if tag == "v":
+                verts.append((float(line[1]), float(line[2]), float(line[3])))
+            elif tag == "f":
+                idx = [int(tok.split("/")[0]) for tok in line[1:4]]
+                faces.append(idx)
+    vertices = np.asarray(verts, dtype=np.float64)
+    faces_arr = np.asarray(faces, dtype=np.int64) - 1 if faces else np.zeros((0, 3), np.int64)
+    return vertices, faces_arr
+
+
+def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (open3d ``compute_vertex_normals`` contract).
+
+    Returns float64 ``[N, 3]`` unit normals (zero vector for unreferenced vertices).
+    """
+    n = vertices.shape[0]
+    normals = np.zeros((n, 3), dtype=np.float64)
+    if faces.shape[0]:
+        v0 = vertices[faces[:, 0]]
+        v1 = vertices[faces[:, 1]]
+        v2 = vertices[faces[:, 2]]
+        fn = np.cross(v1 - v0, v2 - v0)  # ||fn|| = 2*area -> area weighting
+        for c in range(3):
+            np.add.at(normals, faces[:, c], fn)
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    return np.divide(normals, norm, out=np.zeros_like(normals), where=norm > 0)
+
+
+def load_mesh_arr(path: str, return_faces: bool = False):
+    """Load an .obj into the reference's ``(N, 6)`` xyz+normal feature layout
+    (gen_utils.py:236-241 contract)."""
+    vertices, faces = parse_obj(path)
+    normals = compute_vertex_normals(vertices, faces)
+    arr = np.concatenate([vertices, normals], axis=1)
+    if return_faces:
+        return arr, faces
+    return arr
+
+
+def subdivide_midpoint(vertices: np.ndarray, faces: np.ndarray,
+                       n_iter: int = 1):
+    """Midpoint subdivision (open3d ``subdivide_midpoint`` contract): each triangle
+    splits into 4 by inserting edge midpoints (shared across faces). Used by the tgn
+    inference pipeline when a scan has <24k vertices
+    (reference: inference_pipeline_tgn.py:35-37)."""
+    for _ in range(n_iter):
+        edges = {}
+        new_verts = [vertices]
+        next_id = len(vertices)
+
+        def midpoint_id(a: int, b: int) -> int:
+            nonlocal next_id
+            key = (a, b) if a < b else (b, a)
+            mid = edges.get(key)
+            if mid is None:
+                mid = next_id
+                edges[key] = mid
+                next_id += 1
+            return mid
+
+        new_faces = np.empty((len(faces) * 4, 3), dtype=np.int64)
+        for i, (a, b, c) in enumerate(faces):
+            ab = midpoint_id(a, b)
+            bc = midpoint_id(b, c)
+            ca = midpoint_id(c, a)
+            new_faces[4 * i + 0] = (a, ab, ca)
+            new_faces[4 * i + 1] = (ab, b, bc)
+            new_faces[4 * i + 2] = (bc, c, ca)
+            new_faces[4 * i + 3] = (ab, bc, ca)
+        mids = np.empty((len(edges), 3), dtype=vertices.dtype)
+        for (a, b), mid in edges.items():
+            mids[mid - len(vertices)] = (vertices[a] + vertices[b]) / 2.0
+        new_verts.append(mids)
+        vertices = np.concatenate(new_verts, axis=0)
+        faces = new_faces
+    return vertices, faces
