@@ -11,6 +11,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin in this image force-appends itself to jax_platforms even when
+# JAX_PLATFORMS=cpu is set; pin the config explicitly.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,177 @@
+"""Trainer: jitted train/eval steps, per-epoch cosine LR, checkpoint slots, logging,
+data-parallel sharding over a device mesh.
+
+Replaces the reference's Trainer (trainer.py:5-101) and runner (runner.py:26-57):
+  * same loop contract — epochs of train() + test(save_best_model=True), per-epoch
+    scheduler stepping, latest + best-val checkpoint slots, ``<loss>_{train,step,val}``
+    log naming — but the step is one compiled XLA program instead of eager torch with
+    ``empty_cache()`` per batch (trainer.py:32),
+  * true batching and data parallelism: batches shard over the ``data`` axis of a
+    ``jax.sharding.Mesh`` (the reference is single-GPU batch-1, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import TYPE_CHECKING
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .checkpoints import restore_train_checkpoint, save_train_checkpoint
+
+if TYPE_CHECKING:  # avoid a models<->train import cycle; ModelTask is typing-only here
+    from ..models.registry import ModelTask
+from .config import TrainConfig
+from .loss_meter import LossMap, LossMeter
+from .schedule import make_epoch_lr_fn
+from .train_state import TrainState, create_train_state
+
+
+def make_train_step(task: "ModelTask", config):
+    """Build the jitted train step: forward (train mode, mutable batch_stats),
+    weighted-loss sum, grad, optimizer update."""
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = state.apply_fn(
+                variables, batch["feat"], batch.get("mask"), True,
+                mutable=["batch_stats"], **task.forward_kwargs(batch))
+            losses = task.compute_losses(outputs, batch, config)
+            total = LossMap(losses).get_sum()
+            values = {k: v for k, (v, _) in losses.items()}
+            return total, (values, mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (values, new_stats)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return state, values
+
+    return train_step
+
+
+def make_eval_step(task: "ModelTask", config):
+    def eval_step(state: TrainState, batch: dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = state.apply_fn(variables, batch["feat"], batch.get("mask"), False,
+                                 **task.forward_kwargs(batch))
+        losses = task.compute_losses(outputs, batch, config)
+        return {k: v for k, (v, _) in losses.items()}
+
+    return eval_step
+
+
+class Trainer:
+    def __init__(self, config, task: "ModelTask", train_loader,
+                 val_loader, log_fn=print):
+        self.config = config
+        self.task = task
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.log = log_fn
+        self.lr_fn = make_epoch_lr_fn(config.optimizer, config.scheduler)
+
+        module = task.build_module(config)
+        sample = next(iter(train_loader))
+        sample = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+        self.state = create_train_state(
+            module, config.optimizer, self._device_batch(sample, init=True),
+            jax.random.PRNGKey(config.seed))
+
+        ndev = config.data_parallel
+        if ndev > 1:
+            devices = np.array(jax.devices()[:ndev])
+            self.mesh = Mesh(devices, ("data",))
+            self.batch_sharding = NamedSharding(self.mesh, P("data"))
+            self.replicated = NamedSharding(self.mesh, P())
+            self.state = jax.device_put(self.state, self.replicated)
+            self._train_step = jax.jit(
+                make_train_step(task, config), donate_argnums=0,
+                out_shardings=(self.replicated, self.replicated))
+            self._eval_step = jax.jit(make_eval_step(task, config))
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(make_train_step(task, config), donate_argnums=0)
+            self._eval_step = jax.jit(make_eval_step(task, config))
+
+        self.best_val = float("inf")
+        self.epoch = 0
+        self.wandb = None
+        if config.wandb_on:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=config.wandb_project, name=config.experiment_name,
+                           config=config.to_dict())
+            except Exception as e:  # wandb genuinely optional
+                self.log(f"wandb disabled: {e}")
+
+    def _device_batch(self, batch: dict, init: bool = False) -> dict:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        arrays.setdefault(
+            "mask", np.ones(arrays["feat"].shape[:2], dtype=bool))
+        if not init and self.mesh is not None:
+            arrays = {k: jax.device_put(v, self.batch_sharding)
+                      for k, v in arrays.items()}
+        return arrays
+
+    def train_epoch(self) -> dict:
+        meter = LossMeter()
+        for batch in self.train_loader:
+            db = self._device_batch(batch)
+            self.state, values = self._train_step(self.state, db)
+            weighted = {f"{k}_step": float(v) * self._weight(k)
+                        for k, v in values.items()}
+            weighted[f"total_step"] = sum(weighted.values())
+            meter.aggr(weighted)
+        return {k.replace("_step", "_train"): v
+                for k, v in meter.get_avg_results().items()}
+
+    def eval_epoch(self) -> dict:
+        meter = LossMeter()
+        for batch in self.val_loader:
+            db = self._device_batch(batch)
+            values = self._eval_step(self.state, db)
+            weighted = {f"{k}_val": float(v) * self._weight(k)
+                        for k, v in values.items()}
+            weighted["total_val"] = sum(weighted.values())
+            meter.aggr(weighted)
+        return meter.get_avg_results()
+
+    def _weight(self, name: str) -> float:
+        return self.config.loss_weights.get(name, 1.0)
+
+    def run(self, max_epochs: int | None = None):
+        """Epoch loop (reference trainer.py:96-101: infinite; bound it via config)."""
+        total = max_epochs if max_epochs is not None else self.config.max_epochs
+        for _ in range(total):
+            self.state = self.state.set_learning_rate(self.lr_fn(self.epoch))
+            t0 = time.perf_counter()
+            train_stats = self.train_epoch()
+            val_stats = self.eval_epoch()
+            dt = time.perf_counter() - t0
+            stats = {**train_stats, **val_stats,
+                     "lr": self.lr_fn(self.epoch), "epoch_time_s": dt}
+            self.log(f"epoch {self.epoch}: " +
+                     " ".join(f"{k}={v:.5f}" for k, v in stats.items()))
+            if self.wandb:
+                self.wandb.log(stats, step=self.epoch)
+
+            save_train_checkpoint(self.config.checkpoint_path, self.state,
+                                  self.epoch)
+            if val_stats.get("total_val", float("inf")) < self.best_val:
+                self.best_val = val_stats["total_val"]
+                save_train_checkpoint(self.config.checkpoint_path + "_val",
+                                      self.state, self.epoch,
+                                      {"best_val": self.best_val})
+            self.epoch += 1
+        return self.state
+
+    def resume(self):
+        self.state, epoch = restore_train_checkpoint(
+            self.config.checkpoint_path, self.state)
+        self.epoch = epoch + 1
+        return self.epoch
