@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from ..losses.seg_loss import tooth_class_loss
 from ..train.config import OptimizerConfig, SchedulerConfig, TrainConfig
+from .dgcnn import DGCNNSeg
 from .pointnet import PointNetSeg
+from .pointnetpp import PointNetPPSeg
 from .registry import ModelTask, register_task
 
 
@@ -37,4 +39,20 @@ register_task(ModelTask(
         num_classes=17, scale=cfg.model_parameter.get("scale", 2)),
     compute_losses=_ce_losses,
     default_config=lambda: _adam_preset("pointnet"),
+))
+
+register_task(ModelTask(
+    name="pointnetpp",
+    build_module=lambda cfg: PointNetPPSeg(
+        num_classes=17, scale=cfg.model_parameter.get("scale", 4)),
+    compute_losses=_ce_losses,
+    default_config=lambda: _adam_preset("pointnetpp"),
+))
+
+register_task(ModelTask(
+    name="dgcnn",
+    build_module=lambda cfg: DGCNNSeg(
+        num_classes=17, k=cfg.model_parameter.get("k", 20)),
+    compute_losses=_ce_losses,
+    default_config=lambda: _adam_preset("dgcnn"),
 ))

@@ -32,13 +32,17 @@ from .train_state import TrainState, create_train_state
 def make_train_step(task: "ModelTask", config):
     """Build the jitted train step: forward (train mode, mutable batch_stats),
     weighted-loss sum, grad, optimizer update."""
+    base_key = jax.random.PRNGKey(config.seed + 1)
 
     def train_step(state: TrainState, batch: dict):
+        step_rng = jax.random.fold_in(base_key, state.step)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             outputs, mutated = state.apply_fn(
                 variables, batch["feat"], batch.get("mask"), True,
-                mutable=["batch_stats"], **task.forward_kwargs(batch))
+                mutable=["batch_stats"], rngs={"dropout": step_rng},
+                **task.forward_kwargs(batch))
             losses = task.compute_losses(outputs, batch, config)
             total = LossMap(losses).get_sum()
             values = {k: v for k, (v, _) in losses.items()}
