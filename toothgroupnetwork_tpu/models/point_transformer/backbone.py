@@ -1,0 +1,288 @@
+"""Point-Transformer segmentation backbone (vector self-attention U-Net).
+
+TPU-native rebuild of the reference's cbl_point_transformer
+(reference: models/modules/cbl_point_transformer/blocks.py:14-135 and
+cbl_point_transformer_module.py:28-235). Dense padded ``[B, N, C]`` tensors with
+per-stage static sizes (24000 → 6000 → 1500 → 375 → 93 at stride [1,4,4,4,4]) replace
+the reference's ragged offset-batched layout.
+
+Key structural optimization over the reference: the per-stage kNN neighborhood is
+computed ONCE per stage and shared by every attention block in the stage and by the
+CBL loss (the reference re-runs the CUDA knnquery twice per attention layer,
+blocks.py:34-35, and again per CBL stage, heads.py:196).
+
+Faithful quirks preserved:
+  * attention weight MLP operates on ``share_planes``-grouped channels
+    (blocks.py:26-29, 41-43),
+  * position encoding ``p_r`` is added to both the attention logits and the values,
+  * TransitionUp at the bottleneck concatenates a per-cloud mean embedding
+    (blocks.py:93-105),
+  * the ``multi`` heads are per-stage latent MLPs, 1-NN upsampled to full resolution,
+    concatenated, and linearly classified (heads.py:13-61).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...nn.layers import MaskedBatchNorm, masked_mean
+from ...ops import farthest_point_sample, index_points, knn_interpolate, knn_points
+
+
+class PointTransformerLayer(nn.Module):
+    """Vector self-attention over a precomputed kNN neighborhood
+    (blocks.py:14-44)."""
+
+    planes: int
+    share_planes: int = 8
+
+    @nn.compact
+    def __call__(self, p, x, knn_idx, mask=None, train: bool = True):
+        mid = self.planes
+        out = self.planes
+        s = self.share_planes
+        q = nn.Dense(mid, name="linear_q")(x)
+        k = nn.Dense(mid, name="linear_k")(x)
+        v = nn.Dense(out, name="linear_v")(x)
+
+        k_g = index_points(k, knn_idx)                      # [B, N, K, mid]
+        v_g = index_points(v, knn_idx)                      # [B, N, K, out]
+        p_r = index_points(p, knn_idx) - p[..., None, :]    # relative xyz
+
+        gmask = None
+        if mask is not None:
+            gmask = mask[..., None] * jnp.ones(knn_idx.shape, bool)
+
+        # positional MLP: Linear(3,3) + BN + ReLU + Linear(3, out)  (blocks.py:20)
+        pe = nn.Dense(3, name="linear_p0")(p_r)
+        pe = MaskedBatchNorm(name="linear_p_bn")(pe, gmask, train)
+        pe = nn.relu(pe)
+        pe = nn.Dense(out, name="linear_p1")(pe)
+
+        w = k_g - q[..., None, :] + pe                      # [B, N, K, mid]
+        # weight MLP: BN+ReLU+Linear(mid, mid/s)+BN+ReLU+Linear (blocks.py:22-25)
+        w = MaskedBatchNorm(name="linear_w_bn0")(w, gmask, train)
+        w = nn.relu(w)
+        w = nn.Dense(mid // s, name="linear_w0")(w)
+        w = MaskedBatchNorm(name="linear_w_bn1")(w, gmask, train)
+        w = nn.relu(w)
+        w = nn.Dense(out // s, name="linear_w1")(w)
+        w = nn.softmax(w, axis=2)                            # over neighbors
+
+        b, n, kk, _ = v_g.shape
+        vp = (v_g + pe).reshape(b, n, kk, s, out // s)
+        agg = jnp.sum(vp * w[:, :, :, None, :], axis=2)      # [B, N, s, out/s]
+        return agg.reshape(b, n, out)
+
+
+class PointTransformerBlock(nn.Module):
+    """Residual block: linear+BN+ReLU → attention+BN+ReLU → linear+BN, +skip, ReLU
+    (blocks.py:114-135)."""
+
+    planes: int
+    share_planes: int = 8
+
+    @nn.compact
+    def __call__(self, p, x, knn_idx, mask=None, train: bool = True):
+        identity = x
+        h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
+        h = nn.relu(MaskedBatchNorm(name="bn1")(h, mask, train))
+        h = PointTransformerLayer(self.planes, self.share_planes,
+                                  name="transformer")(p, h, knn_idx, mask, train)
+        h = nn.relu(MaskedBatchNorm(name="bn2")(h, mask, train))
+        h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
+        h = MaskedBatchNorm(name="bn3")(h, mask, train)
+        return nn.relu(h + identity)
+
+
+class TransitionDown(nn.Module):
+    """stride>1: FPS to N/stride, kNN-group with relative xyz, linear+BN+ReLU,
+    max-pool; stride==1: plain linear+BN+ReLU (blocks.py:47-79)."""
+
+    out_planes: int
+    stride: int = 1
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, p, x, mask=None, train: bool = True):
+        if self.stride == 1:
+            h = nn.Dense(self.out_planes, use_bias=False, name="linear")(x)
+            h = nn.relu(MaskedBatchNorm(name="bn")(h, mask, train))
+            return p, h, mask
+        m = x.shape[1] // self.stride
+        fps_idx = farthest_point_sample(p, m, mask)
+        new_p = index_points(p, fps_idx)
+        new_mask = (index_points(mask[..., None].astype(jnp.float32), fps_idx)
+                    [..., 0] > 0) if mask is not None else None
+        idx, _ = knn_points(new_p, p, self.nsample, new_mask, mask)
+        grouped_x = index_points(x, idx)
+        grouped_p = index_points(p, idx) - new_p[..., None, :]
+        grouped = jnp.concatenate([grouped_p, grouped_x], axis=-1)
+        gmask = new_mask[..., None] * jnp.ones(idx.shape, bool) \
+            if new_mask is not None else None
+        h = nn.Dense(self.out_planes, use_bias=False, name="linear")(grouped)
+        h = nn.relu(MaskedBatchNorm(name="bn")(h, gmask, train))
+        return new_p, jnp.max(h, axis=2), new_mask
+
+
+class TransitionUp(nn.Module):
+    """Decoder lateral + upsample (blocks.py:82-111). ``is_head=True`` is the
+    bottleneck variant: concat per-cloud mean embedding instead of upsampling."""
+
+    in_planes: int
+    out_planes: int | None = None  # None => is_head
+
+    @nn.compact
+    def __call__(self, p1, x1, mask1=None, p2=None, x2=None, mask2=None,
+                 train: bool = True):
+        if self.out_planes is None:
+            g = masked_mean(x1, mask1, axis=1)               # per-cloud mean
+            g = nn.relu(nn.Dense(self.in_planes, name="linear2")(g))  # no BN
+            g = jnp.broadcast_to(g[:, None, :], x1.shape[:2] + (self.in_planes,))
+            h = jnp.concatenate([x1, g], axis=-1)
+            h = nn.Dense(self.in_planes, name="linear1")(h)
+            h = nn.relu(MaskedBatchNorm(name="bn1")(h, mask1, train))
+            return h
+        a = nn.Dense(self.out_planes, name="linear1")(x1)
+        a = nn.relu(MaskedBatchNorm(name="bn1")(a, mask1, train))
+        b = nn.Dense(self.out_planes, name="linear2")(x2)
+        b = nn.relu(MaskedBatchNorm(name="bn2")(b, mask2, train))
+        up = knn_interpolate(p1, p2, b, 3, mask1, mask2)     # 3-NN inverse-distance
+        return a + up
+
+
+class StageMLP(nn.Module):
+    """MultiHead per-stage latent MLP: Linear(fdim, base_fdim)+BN+ReLU
+    (blocks.py MLP class, 'latent' branch)."""
+
+    base_fdim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = True):
+        h = nn.Dense(self.base_fdim, name="dense")(x)
+        return nn.relu(MaskedBatchNorm(name="bn")(h, mask, train))
+
+
+class MultiHead(nn.Module):
+    """Per-stage latent MLPs → 1-NN upsample to full res → concat → Linear(k)
+    (heads.py:13-61, combine='concat'). Returns (logits, per-stage latents)."""
+
+    k: int
+    base_fdim: int = 32
+
+    @nn.compact
+    def __call__(self, stages, up1_idx, train: bool = True):
+        collect, latents = [], []
+        mask0 = stages[0]["mask"]
+        for i, st in enumerate(stages):
+            lat = StageMLP(self.base_fdim, name=f"stage_{i}")(
+                st["x"], st["mask"], train)
+            latents.append(lat)
+            if i == 0:
+                collect.append(lat)
+            else:
+                # 1-NN upsample: pure gather of each full-res point's nearest
+                # stage-i point (heads.py:43-51, interpolation k=1)
+                collect.append(index_points(lat, up1_idx[i]))
+        h = jnp.concatenate(collect, axis=-1)
+        return nn.Dense(self.k, name="cls")(h), latents
+
+
+class PointTransformerSeg(nn.Module):
+    """The full U-Net (cbl_point_transformer_module.py:28-216).
+
+    Config contract mirrors get_model (cbl_point_transformer_module.py:220-235):
+    planes [32,64,128,256,512], stride [1,4,4,4,4], nsample [36,24,24,24,24],
+    blocks [2,3,4,6,3], block_num ∈ {2,3,5}, k classes.
+
+    Returns a dict:
+      ``sem_1``   [B, N, k] logits (the reference's cls_results pre-permute),
+      ``offset_1`` [B, N, 3],
+      ``embed``   [B, N, planes[0]] full-res decoder features (the reference's x1),
+      ``cbl_stages`` per-up-stage dicts {p, latent, mask, knn_idx} where latent is
+        the OFFSET head's per-stage latent — matching the reference's store-back
+        order at train batch 1, where ContrastHead reads the latents last written by
+        offset_head (cbl_point_transformer_module.py:190-193 + heads.py:58-59).
+    """
+
+    k: int
+    c: int = 6
+    planes: Sequence[int] = (32, 64, 128, 256, 512)
+    stride: Sequence[int] = (1, 4, 4, 4, 4)
+    nsample: Sequence[int] = (36, 24, 24, 24, 24)
+    blocks: Sequence[int] = (2, 3, 4, 6, 3)
+    block_num: int = 5
+    share_planes: int = 8
+    base_fdim: int = 32
+
+    @nn.compact
+    def __call__(self, feat, mask=None, train: bool = True):
+        bn = self.block_num
+        p = feat[..., :3]
+        x = feat
+
+        # ---------------- encoder ----------------
+        stages = []  # per stage: p, x, mask, knn_idx
+        for i in range(bn):
+            p, x, mask = TransitionDown(
+                self.planes[i], self.stride[i], self.nsample[i],
+                name=f"enc{i + 1}_down")(p, x, mask, train)
+            knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask)
+            for j in range(1, self.blocks[i]):
+                x = PointTransformerBlock(
+                    self.planes[i], self.share_planes,
+                    name=f"enc{i + 1}_block{j}")(p, x, knn_idx, mask, train)
+            stages.append({"p": p, "x": x, "mask": mask, "knn_idx": knn_idx})
+
+        # ---------------- decoder ----------------
+        # topmost: bottleneck TransitionUp (is_head) + 1 block
+        top = stages[bn - 1]
+        x = TransitionUp(self.planes[bn - 1], None, name=f"dec{bn}_up")(
+            top["p"], top["x"], top["mask"], train=train)
+        x = PointTransformerBlock(
+            self.planes[bn - 1], self.share_planes,
+            name=f"dec{bn}_block1")(top["p"], x, top["knn_idx"], top["mask"], train)
+        up_x = [None] * bn
+        up_x[bn - 1] = x
+        for i in range(bn - 2, -1, -1):
+            lo, hi = stages[i], stages[i + 1]
+            x = TransitionUp(self.planes[i + 1], self.planes[i],
+                             name=f"dec{i + 1}_up")(
+                lo["p"], lo["x"], lo["mask"],
+                hi["p"], up_x[i + 1], hi["mask"], train=train)
+            x = PointTransformerBlock(
+                self.planes[i], self.share_planes,
+                name=f"dec{i + 1}_block1")(lo["p"], x, lo["knn_idx"], lo["mask"],
+                                           train)
+            up_x[i] = x
+
+        up_stages = [{"p": stages[i]["p"], "x": up_x[i], "mask": stages[i]["mask"],
+                      "knn_idx": stages[i]["knn_idx"]} for i in range(bn)]
+
+        # 1-NN upsample indices, shared by all heads
+        p0, m0 = up_stages[0]["p"], up_stages[0]["mask"]
+        up1_idx = [None]
+        for i in range(1, bn):
+            idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0, up_stages[i]["mask"])
+            up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point per full-res point
+
+        cls_logits, _ = MultiHead(self.k, self.base_fdim, name="cls_head")(
+            up_stages, up1_idx, train)
+        offset, offset_latents = MultiHead(3, self.base_fdim, name="offset_head")(
+            up_stages, up1_idx, train)
+
+        cbl_stages = [
+            {"p": st["p"], "latent": lat, "mask": st["mask"],
+             "knn_idx": st["knn_idx"]}
+            for st, lat in zip(up_stages, offset_latents)
+        ]
+        return {
+            "sem_1": cls_logits,
+            "cls_pred": cls_logits,
+            "offset_1": offset,
+            "embed": up_x[0],
+            "cbl_stages": cbl_stages,
+        }

@@ -25,7 +25,8 @@ def _load_forward(model_name: str, ckpt_path: str, config=None):
     import numpy as np
 
     sample = jnp.zeros((1, 24000, 6), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(0), sample, None, False)
+    variables = jax.jit(module.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), sample, None, train=False)
     variables = load_weights(ckpt_path, dict(variables))
 
     @jax.jit

@@ -67,11 +67,16 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(module, opt_cfg: OptimizerConfig, sample_input: dict,
-                       rng: jax.Array) -> TrainState:
+                       rng: jax.Array, forward_kwargs: dict | None = None,
+                       ) -> TrainState:
     """Initialize params/batch_stats from a sample batch dict with keys
-    ``feat [B,N,C]`` and ``mask [B,N]`` (plus whatever else the module consumes)."""
-    variables = module.init(rng, sample_input["feat"], sample_input.get("mask"),
-                            train=False)
+    ``feat [B,N,C]`` and ``mask [B,N]`` (plus whatever else the module consumes).
+    ``forward_kwargs``: extra module-call kwargs drawn from the batch (e.g. tgnet
+    needs ``labels``). init is jitted — eager op-by-op dispatch through the TPU
+    tunnel is pathologically slow."""
+    init_fn = jax.jit(module.init, static_argnames=("train",))
+    variables = init_fn(rng, sample_input["feat"], sample_input.get("mask"),
+                        train=False, **(forward_kwargs or {}))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(opt_cfg)

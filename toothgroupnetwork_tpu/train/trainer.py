@@ -80,9 +80,10 @@ class Trainer:
         module = task.build_module(config)
         sample = next(iter(train_loader))
         sample = {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
+        init_batch = self._device_batch(sample, init=True)
         self.state = create_train_state(
-            module, config.optimizer, self._device_batch(sample, init=True),
-            jax.random.PRNGKey(config.seed))
+            module, config.optimizer, init_batch,
+            jax.random.PRNGKey(config.seed), task.forward_kwargs(init_batch))
 
         ndev = config.data_parallel
         if ndev > 1:
