@@ -1,0 +1,95 @@
+"""tgnet_bdl boundary-resampling data engine + training tests (tiny sizes)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toothgroupnetwork_tpu.models import get_task
+
+from synthetic import make_synthetic_jaw_points
+
+
+@pytest.mark.slow
+class TestBdlEngine:
+    def test_host_stage_and_train_step(self, tmp_path, rng):
+        from toothgroupnetwork_tpu.train.checkpoints import save_weights
+        from toothgroupnetwork_tpu.train.train_state import create_train_state
+        from toothgroupnetwork_tpu.train.trainer import make_train_step
+        import toothgroupnetwork_tpu.models.tasks as tasks_mod
+
+        n_points = 512
+        tiny_fps_params = {
+            "planes": [8, 16], "stride": [1, 4], "nsample": [8, 8],
+            "blocks": [2, 2], "block_num": 2, "crop_sample_size": 64,
+        }
+        # frozen fps checkpoint (random weights)
+        fps_task = get_task("tgnet_fps")
+        fps_cfg = fps_task.default_config()
+        fps_cfg.model_parameter.update(tiny_fps_params)
+        fps_mod = fps_task.build_module(fps_cfg)
+        feat0 = jnp.zeros((1, n_points, 6), jnp.float32)
+        lab0 = jnp.zeros((1, n_points), jnp.int32)
+        fps_vars = jax.jit(fps_mod.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), feat0, None, train=False, labels=lab0)
+        fps_ckpt = str(tmp_path / "fps.npz")
+        save_weights(fps_ckpt, dict(fps_vars))
+
+        task = get_task("tgnet_bdl")
+        cfg = task.default_config()
+        cfg.model_parameter.update({
+            "planes": [8, 16], "stride": [1, 1], "nsample": [8, 8],
+            "blocks": [2, 2], "block_num": 2, "crop_sample_size": 64,
+            "n_points": n_points,
+        })
+        cfg.model_parameter["fps_model_info"] = {
+            "model_parameter": tiny_fps_params,
+            "load_ckpt_path": fps_ckpt,
+        }
+        cfg.model_parameter["boundary_sampling_info"] = {
+            "orginal_data_obj_path": None,
+            "orginal_data_json_path": None,
+            "bdl_cache_path": str(tmp_path / "bdl_cache"),
+            "bdl_ratio": 0.7,
+            "num_of_bdl_points": 300,
+            "num_of_all_points": n_points,
+        }
+        # fresh engine so the tiny config isn't polluted by other tests
+        tasks_mod._BDL_ENGINE = None
+
+        pts, _, cls = make_synthetic_jaw_points(n_points, 8, seed=11)
+        batch = {
+            "feat": np.concatenate(
+                [pts, np.tile([0, 0, 1.0], (n_points, 1)).astype(np.float32)],
+                -1)[None],
+            "gt_seg_label": (cls - 1).astype(np.int32)[None],
+            "mask": np.ones((1, n_points), bool),
+            "mesh_path": ["CASE01_lower_sampled_points.npy"],
+            "augmenter": [None],
+        }
+        module = task.build_module(cfg)
+        state = create_train_state(module, cfg.optimizer,
+                                   {k: v for k, v in batch.items()
+                                    if isinstance(v, np.ndarray)},
+                                   jax.random.PRNGKey(1),
+                                   task.forward_kwargs(batch))
+
+        extra = task.host_stage(state, batch, cfg)
+        assert extra["feat"].shape == (1, n_points, 6)
+        assert extra["gt_seg_label"].shape == (1, n_points)
+        # cache written (fallback source = the preprocessed cloud itself)
+        assert os.path.exists(str(tmp_path / "bdl_cache" / "CASE01_lower.npy"))
+
+        # cache-hit path returns the same shapes
+        extra2 = task.host_stage(state, batch, cfg)
+        assert extra2["feat"].shape == (1, n_points, 6)
+
+        batch2 = {**{k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+                  **extra}
+        step = jax.jit(make_train_step(task, cfg))
+        state2, values = step(state, batch2)
+        for k, v in values.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        tasks_mod._BDL_ENGINE = None

@@ -1,0 +1,156 @@
+"""tgn two-stage inference pipeline tests (tiny arch, small sample size) +
+postprocess unit tests (clustering, boundary resampling, fusion)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from toothgroupnetwork_tpu.postprocess.clustering import (
+    clustering_points, first_label_ratio, get_clustering_labels)
+from toothgroupnetwork_tpu.postprocess.boundary import boundary_sampled_feats
+from toothgroupnetwork_tpu.postprocess.fusion import (
+    disambiguate_arch_labels, merge_boundary_clusters)
+
+from synthetic import make_synthetic_jaw_points, write_synthetic_obj
+
+
+class TestClustering:
+    def test_dbscan_separates_blobs(self, rng):
+        # 3 dense, well-separated blobs
+        blobs = [rng.normal(c, 0.005, (200, 3)) for c in
+                 ([0, 0, 0], [0.5, 0, 0], [0, 0.5, 0])]
+        pts = np.concatenate(blobs).astype(np.float64)
+        labels = np.ones(len(pts))  # all FG
+        out = get_clustering_labels(pts, labels)
+        assert len(out) == len(pts)
+        assert len(np.unique(out)) == 3
+        # each blob is one pure cluster
+        for i in range(3):
+            seg = out[i * 200:(i + 1) * 200]
+            assert len(np.unique(seg)) == 1
+
+    def test_noise_absorbed(self, rng):
+        blob = rng.normal(0, 0.005, (100, 3))
+        outlier = np.array([[5.0, 5, 5]])
+        pts = np.concatenate([blob, outlier])
+        out = get_clustering_labels(pts, np.ones(len(pts)))
+        # outlier absorbed into the blob's cluster by 10-NN vote
+        assert out[-1] == out[0]
+
+    def test_kmeans_dispatch(self, rng):
+        pts = np.concatenate([rng.normal(0, 0.01, (50, 3)),
+                              rng.normal(1, 0.01, (50, 3))])
+        cents, cent_labels, labels = clustering_points([pts], "kmeans", [2])
+        assert len(cents[0]) == 2
+        assert len(np.unique(labels[0])) == 2
+
+    def test_first_label_ratio(self):
+        arr = np.array([[1, 1, 2, 1], [3, 4, 4, 4]])
+        np.testing.assert_allclose(first_label_ratio(arr), [0.75, 0.25])
+
+
+class TestBoundaryResample:
+    def test_boundary_detection_and_sizes(self, rng):
+        # two half-planes with different labels -> boundary at x ~ 0
+        n = 3000
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        labels = (pts[:, 0] > 0).astype(np.int64) + 1
+        feats = np.concatenate([pts, np.zeros_like(pts)], -1)
+        org = feats.copy()
+        out_feats, out_labels, n_bd = boundary_sampled_feats(
+            labels, org, feats, bdl_ratio=0.7, num_bdl_points=500,
+            num_all_points=1000)
+        assert out_feats.shape == (1000, 6)
+        assert out_labels.shape[0] == 1000
+        assert 0 < n_bd <= 500
+        # boundary points concentrate near x = 0
+        assert np.abs(out_feats[:n_bd, 0]).mean() < np.abs(feats[:, 0]).mean()
+
+
+class TestFusion:
+    def _arch(self, rng):
+        pts, _, cls = make_synthetic_jaw_points(2000, 8, seed=0)
+        gt = cls.copy()  # 0 gingiva, 1..16
+        # inference half-label convention (1-based argmax space): full 1..8 -> same,
+        # 9 (left central incisor) keeps its own class 9, 10..16 -> 2..8.
+        half = np.where(gt >= 10, gt - 8, gt)
+        ins = gt.copy()  # instance per tooth
+        return pts.astype(np.float64), ins, half
+
+    def test_arch_disambiguation_recovers_sides(self, rng):
+        pts, ins, half = self._arch(rng)
+        new_sem = disambiguate_arch_labels(pts, ins.copy(), half)
+        # majority of points should get their original full-arch label back,
+        # modulo a possible global left/right flip of the checking axis
+        gt = ins
+        direct = (new_sem[gt > 0] == gt[gt > 0]).mean()
+        # global side-flip alternative (centrals 1/9 never flip)
+        flipped_gt = np.where(gt >= 10, gt - 8,
+                              np.where((gt >= 2) & (gt <= 8), gt + 8, gt))
+        flipped = (new_sem[gt > 0] == flipped_gt[gt > 0]).mean()
+        assert max(direct, flipped) > 0.95
+
+    def test_merge_boundary_clusters(self, rng):
+        pts, ins, half = self._arch(rng)
+        new_sem = np.where(ins > 0, ins, 0)
+        # boundary cloud = jittered copies of tooth points with own cluster ids
+        sel = ins > 0
+        bdl_xyz = pts[sel] + rng.normal(0, 1e-4, (sel.sum(), 3))
+        bdl_ps = ins[sel].copy()  # pretend kmeans ids == tooth ids
+        mod_ps, mod_sem = merge_boundary_clusters(pts, ins, new_sem,
+                                                  bdl_xyz, bdl_ps)
+        np.testing.assert_array_equal(mod_ps, ins[sel])
+        np.testing.assert_array_equal(mod_sem, new_sem[sel])
+
+
+@pytest.mark.slow
+class TestTgnPipelineEndToEnd:
+    def test_pipeline_runs(self, tmp_path, rng):
+        from toothgroupnetwork_tpu.models import get_task
+        from toothgroupnetwork_tpu.pipelines.tgn import TgnInferencePipeline
+        from toothgroupnetwork_tpu.train.checkpoints import save_weights
+        from toothgroupnetwork_tpu.models.tgnet import TGNet
+        import jax.numpy as jnp
+
+        n_sample, crop = 512, 64
+        task = get_task("tgnet_fps")
+        cfg = task.default_config()
+        cfg.model_parameter.update({
+            "planes": [8, 16], "stride": [1, 4], "nsample": [8, 8],
+            "blocks": [2, 2], "block_num": 2, "crop_sample_size": crop,
+        })
+        bdl_arch = dict(planes=(8, 16), stride=(1, 1), nsample=(8, 8),
+                        blocks=(2, 2), block_num=2)
+
+        # random-weight checkpoints (pipeline contract, not accuracy)
+        key = jax.random.PRNGKey(0)
+        feat = jnp.zeros((1, n_sample, 6), jnp.float32)
+        lab = jnp.zeros((1, n_sample), jnp.int32)
+        fps_mod = task.build_module(cfg)
+        fps_vars = jax.jit(fps_mod.init, static_argnames=("train",))(
+            key, feat, None, train=False, labels=lab)
+        fps_ckpt = str(tmp_path / "fps.npz")
+        save_weights(fps_ckpt, dict(fps_vars))
+        bdl_mod = TGNet(crop_size=crop, c=6, **bdl_arch)
+        bdl_vars = jax.jit(bdl_mod.init, static_argnames=("train",))(
+            key, feat, None, train=False, labels=lab)
+        bdl_ckpt = str(tmp_path / "bdl.npz")
+        save_weights(bdl_ckpt, dict(bdl_vars))
+
+        obj_path = str(tmp_path / "scan_lower.obj")
+        write_synthetic_obj(obj_path, n_side=40, seed=1)
+
+        pipe = TgnInferencePipeline(
+            fps_ckpt, bdl_ckpt, cfg, bdl_arch=bdl_arch, n_sample=n_sample,
+            boundary_info={"bdl_ratio": 0.7, "num_of_bdl_points": 300,
+                           "num_of_all_points": n_sample})
+        out = pipe(obj_path)
+        n_verts = 40 * 40
+        assert out["sem"].shape == (n_verts,)
+        assert out["ins"].shape == (n_verts,)
+        # FDI value range
+        valid = set([0] + list(range(11, 19)) + list(range(21, 29)))
+        assert set(np.unique(out["sem"])).issubset(valid)
+        assert (out["ins"] >= 0).all()

@@ -26,6 +26,11 @@ class ModelTask:
     # extra forward kwargs drawn from the batch (e.g. tgnet needs labels for
     # GT-centroid cropping at train time): batch -> kwargs dict
     forward_kwargs: Callable[[dict], dict] = field(default=lambda batch: {})
+    # optional host-side stage run before each jitted step, returning extra batch
+    # arrays: (state, batch, config) -> dict. Used by tsegnet, whose crop proposals
+    # come from DBSCAN over its own centroid predictions (data-dependent, host-side;
+    # the reference runs sklearn inside its eager forward, tsegnet.py:57-71).
+    host_stage: Callable | None = field(default=None)
 
 
 _REGISTRY: dict[str, ModelTask] = {}

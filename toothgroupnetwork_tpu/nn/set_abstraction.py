@@ -55,7 +55,16 @@ class SetAbstraction(nn.Module):
         new_points [B,S,C'], new_mask [B,S])."""
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points, mask)
-            new_mask = None
+            gmask = mask[:, None, :] if mask is not None else None
+            h = GroupMLP(self.mlp, name="mlp")(grouped, gmask, train)
+            if mask is not None:
+                h = jnp.where(gmask[..., None], h, -1e30)
+            pooled = jnp.max(h, axis=2)
+            if mask is not None:
+                # fully-masked rows (e.g. padded crop slots) pool to 0, not -1e30
+                any_valid = jnp.any(mask, axis=-1)[:, None, None]
+                pooled = jnp.where(any_valid, pooled, 0.0)
+            return new_xyz, pooled, None
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, mask)
             new_xyz = index_points(xyz, fps_idx)

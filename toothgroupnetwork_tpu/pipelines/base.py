@@ -25,8 +25,8 @@ SHIFTER = 0.8
 N_SAMPLE = 24000
 
 
-def prep_mesh(stl_path: str):
-    """Returns ``(org_feats [N0,6], sampled_feats [24000,6])`` — original-vertex
+def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
+    """Returns ``(org_feats [N0,6], sampled_feats [n_sample,6])`` — original-vertex
     features (pre-subdivision, the 1-NN upsample targets) and the FPS-sampled model
     input."""
     vertices, faces = parse_obj(stl_path)
@@ -38,12 +38,12 @@ def prep_mesh(stl_path: str):
     normals = compute_vertex_normals(vertices, faces)
     org_feats = np.concatenate([vertices, normals], axis=1)
 
-    if vertices.shape[0] < N_SAMPLE:
+    if vertices.shape[0] < n_sample:
         vertices, faces = subdivide_midpoint(vertices, faces, 1)
         normals = compute_vertex_normals(vertices, faces)
     feats = np.concatenate([vertices, normals], axis=1)
 
-    sampled = fps_sample(feats, N_SAMPLE)
+    sampled = fps_sample(feats, n_sample)
     return org_feats.astype(np.float32), sampled.astype(np.float32)
 
 

@@ -127,6 +127,10 @@ class Trainer:
         meter = LossMeter()
         for batch in self.train_loader:
             db = self._device_batch(batch)
+            if self.task.host_stage is not None:
+                # host stages may need non-array fields (mesh_path, augmenter)
+                db.update(self.task.host_stage(self.state, {**batch, **db},
+                                               self.config))
             self.state, values = self._train_step(self.state, db)
             weighted = {f"{k}_step": float(v) * self._weight(k)
                         for k, v in values.items()}
@@ -139,6 +143,9 @@ class Trainer:
         meter = LossMeter()
         for batch in self.val_loader:
             db = self._device_batch(batch)
+            if self.task.host_stage is not None:
+                db.update(self.task.host_stage(self.state, {**batch, **db},
+                                               self.config))
             values = self._eval_step(self.state, db)
             weighted = {f"{k}_val": float(v) * self._weight(k)
                         for k, v in values.items()}
