@@ -28,20 +28,24 @@ def edge_conv_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
 
 
 class EdgeConvBlock(nn.Module):
-    """Dense(bias=False)+BN+LeakyReLU(0.2) stacks applied to the graph tensor."""
+    """Dense(bias=False)+BN+LeakyReLU(0.2) stacks applied to the graph tensor.
+    Runs on flattened 2D ``[B·N·K, C]`` (TPU layout; small trailing dims tile
+    terribly in 4D)."""
 
     features: tuple
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = True):
-        gmask = None
+        b, n, kk, c = x.shape
+        x = x.reshape(b * n * kk, c)
+        flat_mask = None
         if mask is not None:
-            gmask = mask[..., None] * jnp.ones(x.shape[:3], bool)
+            flat_mask = jnp.broadcast_to(mask[..., None], (b, n, kk)).reshape(-1)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=False, name=f"dense_{i}")(x)
-            x = MaskedBatchNorm(name=f"bn_{i}")(x, gmask, train)
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, flat_mask, train)
             x = nn.leaky_relu(x, negative_slope=0.2)
-        return jnp.max(x, axis=2)  # max over K
+        return jnp.max(x.reshape(b, n, kk, -1), axis=2)  # max over K
 
 
 class DGCNNSeg(nn.Module):

@@ -34,7 +34,13 @@ from ...ops import farthest_point_sample, index_points, knn_interpolate, knn_poi
 
 class PointTransformerLayer(nn.Module):
     """Vector self-attention over a precomputed kNN neighborhood
-    (blocks.py:14-44)."""
+    (blocks.py:14-44).
+
+    TPU layout note: all neighborhood MLP/BN work runs on FLATTENED 2D
+    ``[B·N·K, C]`` tensors — 4D ``[B, N, K, C]`` shapes with small trailing dims
+    tile terribly on TPU (measured ~40x slower per op); only the softmax and the
+    final aggregation reduce need the 4D view.
+    """
 
     planes: int
     share_planes: int = 8
@@ -44,6 +50,7 @@ class PointTransformerLayer(nn.Module):
         mid = self.planes
         out = self.planes
         s = self.share_planes
+        b, n, kk = knn_idx.shape
         q = nn.Dense(mid, name="linear_q")(x)
         k = nn.Dense(mid, name="linear_k")(x)
         v = nn.Dense(out, name="linear_v")(x)
@@ -52,28 +59,27 @@ class PointTransformerLayer(nn.Module):
         v_g = index_points(v, knn_idx)                      # [B, N, K, out]
         p_r = index_points(p, knn_idx) - p[..., None, :]    # relative xyz
 
-        gmask = None
+        flat_mask = None
         if mask is not None:
-            gmask = mask[..., None] * jnp.ones(knn_idx.shape, bool)
+            flat_mask = jnp.broadcast_to(mask[..., None], (b, n, kk)).reshape(-1)
 
         # positional MLP: Linear(3,3) + BN + ReLU + Linear(3, out)  (blocks.py:20)
-        pe = nn.Dense(3, name="linear_p0")(p_r)
-        pe = MaskedBatchNorm(name="linear_p_bn")(pe, gmask, train)
+        pe = nn.Dense(3, name="linear_p0")(p_r.reshape(b * n * kk, 3))
+        pe = MaskedBatchNorm(name="linear_p_bn")(pe, flat_mask, train)
         pe = nn.relu(pe)
-        pe = nn.Dense(out, name="linear_p1")(pe)
+        pe = nn.Dense(out, name="linear_p1")(pe)            # [BNK, out]
 
-        w = k_g - q[..., None, :] + pe                      # [B, N, K, mid]
+        w = (k_g - q[..., None, :]).reshape(b * n * kk, mid) + pe
         # weight MLP: BN+ReLU+Linear(mid, mid/s)+BN+ReLU+Linear (blocks.py:22-25)
-        w = MaskedBatchNorm(name="linear_w_bn0")(w, gmask, train)
+        w = MaskedBatchNorm(name="linear_w_bn0")(w, flat_mask, train)
         w = nn.relu(w)
         w = nn.Dense(mid // s, name="linear_w0")(w)
-        w = MaskedBatchNorm(name="linear_w_bn1")(w, gmask, train)
+        w = MaskedBatchNorm(name="linear_w_bn1")(w, flat_mask, train)
         w = nn.relu(w)
         w = nn.Dense(out // s, name="linear_w1")(w)
-        w = nn.softmax(w, axis=2)                            # over neighbors
+        w = nn.softmax(w.reshape(b, n, kk, out // s), axis=2)  # over neighbors
 
-        b, n, kk, _ = v_g.shape
-        vp = (v_g + pe).reshape(b, n, kk, s, out // s)
+        vp = (v_g.reshape(b * n * kk, out) + pe).reshape(b, n, kk, s, out // s)
         agg = jnp.sum(vp * w[:, :, :, None, :], axis=2)      # [B, N, s, out/s]
         return agg.reshape(b, n, out)
 
@@ -121,10 +127,16 @@ class TransitionDown(nn.Module):
         grouped_x = index_points(x, idx)
         grouped_p = index_points(p, idx) - new_p[..., None, :]
         grouped = jnp.concatenate([grouped_p, grouped_x], axis=-1)
-        gmask = new_mask[..., None] * jnp.ones(idx.shape, bool) \
-            if new_mask is not None else None
-        h = nn.Dense(self.out_planes, use_bias=False, name="linear")(grouped)
-        h = nn.relu(MaskedBatchNorm(name="bn")(h, gmask, train))
+        # flatten to 2D for the MLP/BN (TPU layout; see PointTransformerLayer)
+        b, mm, kk, cc = grouped.shape
+        flat_mask = None
+        if new_mask is not None:
+            flat_mask = jnp.broadcast_to(new_mask[..., None],
+                                         (b, mm, kk)).reshape(-1)
+        h = nn.Dense(self.out_planes, use_bias=False, name="linear")(
+            grouped.reshape(b * mm * kk, cc))
+        h = nn.relu(MaskedBatchNorm(name="bn")(h, flat_mask, train))
+        h = h.reshape(b, mm, kk, self.out_planes)
         return new_p, jnp.max(h, axis=2), new_mask
 
 

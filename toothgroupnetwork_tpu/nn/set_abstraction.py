@@ -26,17 +26,25 @@ from .layers import MaskedBatchNorm
 
 
 class GroupMLP(nn.Module):
-    """Dense+BN+ReLU stack over grouped ``[B, S, K, C]`` tensors."""
+    """Dense+BN+ReLU stack over grouped ``[B, S, K, C]`` tensors.
+
+    Internally flattens to 2D ``[B·S·K, C]`` — 4D tensors with small trailing dims
+    tile terribly on TPU (see PointTransformerLayer layout note)."""
 
     features: Sequence[int]
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = True):
+        shape = x.shape
+        x = x.reshape(-1, shape[-1])
+        flat_mask = None
+        if mask is not None:
+            flat_mask = jnp.broadcast_to(mask, shape[:-1]).reshape(-1)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, name=f"dense_{i}")(x)
-            x = MaskedBatchNorm(name=f"bn_{i}")(x, mask, train)
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, flat_mask, train)
             x = nn.relu(x)
-        return x
+        return x.reshape(shape[:-1] + (x.shape[-1],))
 
 
 class SetAbstraction(nn.Module):

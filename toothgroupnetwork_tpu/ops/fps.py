@@ -53,6 +53,11 @@ def farthest_point_sample(
       int32 indices, ``[n_samples]`` or ``[B, n_samples]``.
     """
     if xyz.ndim == 3:
+        if xyz.shape[0] == 1:
+            # vmap costs ~35x on the sequential loop; single-cloud path instead
+            return farthest_point_sample(
+                xyz[0], n_samples, None if mask is None else mask[0],
+                impl=impl)[None]
         if mask is None:
             mask = jnp.ones(xyz.shape[:2], dtype=bool)
         return jax.vmap(lambda p, m: farthest_point_sample(p, n_samples, m, impl=impl))(

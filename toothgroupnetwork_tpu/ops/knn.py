@@ -55,6 +55,14 @@ def knn_points(
     """
     if query.ndim == 3:
         b = query.shape[0]
+        if b == 1:
+            # vmap costs ~7x here (it forces a batched top_k lowering); unrolled
+            # single-cloud path instead
+            idx, dist = knn_points(
+                query[0], points[0], k,
+                None if q_mask is None else q_mask[0],
+                None if p_mask is None else p_mask[0], chunk=chunk, impl=impl)
+            return idx[None], dist[None]
         if q_mask is None:
             q_mask = jnp.ones(query.shape[:2], dtype=bool)
         if p_mask is None:
