@@ -1,11 +1,12 @@
-"""Benchmark: full-jaw scans/sec/chip on the flagship model at 24k points.
+"""Benchmark: flagship (tgnet) device path — scans/sec/chip at 24k points.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north star = 10 scans/sec/chip end-to-end on TPU v5e.
 
-Currently measures the jitted model forward (24k points, argmax to labels) over a
-batch, steady-state, on the real chip. As the tgnet pipeline lands this will extend to
-the full mesh->JSON path.
+Measures the full tgnet device path per scan: stage-1 point-transformer U-Net over
+the 24k cloud (sem + offsets) + 16 crop slots (3072 pts) through the stage-2
+backbone — the dominant compute of the end-to-end pipeline (host clustering adds
+~0.1-0.3 s/scan on top; exact share depends on scan content).
 """
 
 import json
@@ -21,36 +22,46 @@ def main():
     import jax.numpy as jnp
 
     from toothgroupnetwork_tpu.models import get_task
+    from toothgroupnetwork_tpu.models.tgnet import TGNet, make_crops
 
-    task = get_task("pointnet")
+    task = get_task("tgnet_fps")
     config = task.default_config()
     module = task.build_module(config)
 
-    batch = 8
     n = 24000
     rng = np.random.default_rng(0)
-    feat = jnp.asarray(rng.standard_normal((batch, n, 6)), jnp.float32)
-    mask = jnp.ones((batch, n), bool)
-    variables = module.init(jax.random.PRNGKey(0), feat, mask, False)
+    feat = jnp.asarray(rng.standard_normal((1, n, 6)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(-1, 16, (1, n)), jnp.int32)
+    variables = jax.jit(module.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), feat, None, train=False, labels=labels)
+
+    centroids = jnp.asarray(rng.standard_normal((1, 16, 3)) * 0.3, jnp.float32)
+    valid = jnp.ones((1, 16), bool)
 
     @jax.jit
-    def forward(feat, mask):
-        out = module.apply(variables, feat, mask, False)
-        return jnp.argmax(out["cls_pred"], axis=-1)
+    def device_path(feat, centroids, valid):
+        out1 = module.apply(variables, feat, None, method=TGNet.stage1)
+        crops, crop_mask, crop_idx, _ = make_crops(
+            feat, centroids, valid, 3072)
+        out2 = module.apply(variables, crops, crop_mask, method=TGNet.stage2)
+        return (jnp.argmax(out1["sem_1"], -1), out1["offset_1"],
+                jnp.argmax(out2["sem_1"], -1), crop_idx)
 
-    # warmup / compile
-    forward(feat, mask).block_until_ready()
+    # warmup/compile
+    out = device_path(feat, centroids, valid)
+    jax.block_until_ready(out)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        labels = forward(feat, mask)
-    labels.block_until_ready()
-    dt = time.perf_counter() - t0
+        out = device_path(feat, centroids, valid)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0][0, 0])  # force real completion through the tunnel
+    dt = (time.perf_counter() - t0) / n_iters
 
-    scans_per_sec = batch * n_iters / dt
+    scans_per_sec = 1.0 / dt
     print(json.dumps({
-        "metric": "pointnet_forward_scans_per_sec_per_chip_24k",
+        "metric": "tgnet_device_path_scans_per_sec_per_chip_24k",
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),

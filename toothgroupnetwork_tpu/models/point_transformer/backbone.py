@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...nn.layers import MaskedBatchNorm, masked_mean
@@ -46,41 +47,62 @@ class PointTransformerLayer(nn.Module):
     share_planes: int = 8
 
     @nn.compact
-    def __call__(self, p, x, knn_idx, mask=None, train: bool = True):
+    def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
+                 p_r_flat=None):
+        """``p_r_flat``: optional precomputed relative-position gather
+        ``[B·N·K, 3]`` — identical for every block of a stage, so the backbone
+        hoists it (gathers are the dominant cost on TPU, ~26ms each at 24k)."""
         mid = self.planes
         out = self.planes
         s = self.share_planes
+        cs = out // s
         b, n, kk = knn_idx.shape
+        bnk = b * n * kk
         q = nn.Dense(mid, name="linear_q")(x)
         k = nn.Dense(mid, name="linear_k")(x)
         v = nn.Dense(out, name="linear_v")(x)
 
-        k_g = index_points(k, knn_idx)                      # [B, N, K, mid]
-        v_g = index_points(v, knn_idx)                      # [B, N, K, out]
-        p_r = index_points(p, knn_idx) - p[..., None, :]    # relative xyz
+        # ONE fused gather for k and v (same indices; halves gather cost)
+        kv_g = index_points(jnp.concatenate([k, v], axis=-1), knn_idx)
+        kv_g = kv_g.reshape(bnk, mid + out)
+        k_g, v_g = kv_g[:, :mid], kv_g[:, mid:]
+        if p_r_flat is None:
+            p_r_flat = (index_points(p, knn_idx) - p[..., None, :]
+                        ).reshape(bnk, 3)
 
         flat_mask = None
         if mask is not None:
             flat_mask = jnp.broadcast_to(mask[..., None], (b, n, kk)).reshape(-1)
 
         # positional MLP: Linear(3,3) + BN + ReLU + Linear(3, out)  (blocks.py:20)
-        pe = nn.Dense(3, name="linear_p0")(p_r.reshape(b * n * kk, 3))
+        pe = nn.Dense(3, name="linear_p0")(p_r_flat)
         pe = MaskedBatchNorm(name="linear_p_bn")(pe, flat_mask, train)
         pe = nn.relu(pe)
         pe = nn.Dense(out, name="linear_p1")(pe)            # [BNK, out]
 
-        w = (k_g - q[..., None, :]).reshape(b * n * kk, mid) + pe
+        q_rep = jnp.repeat(q.reshape(b * n, mid), kk, axis=0)
+        w = k_g - q_rep + pe
         # weight MLP: BN+ReLU+Linear(mid, mid/s)+BN+ReLU+Linear (blocks.py:22-25)
         w = MaskedBatchNorm(name="linear_w_bn0")(w, flat_mask, train)
         w = nn.relu(w)
         w = nn.Dense(mid // s, name="linear_w0")(w)
         w = MaskedBatchNorm(name="linear_w_bn1")(w, flat_mask, train)
         w = nn.relu(w)
-        w = nn.Dense(out // s, name="linear_w1")(w)
-        w = nn.softmax(w.reshape(b, n, kk, out // s), axis=2)  # over neighbors
+        w = nn.Dense(cs, name="linear_w1")(w)               # [BNK, cs]
 
-        vp = (v_g.reshape(b * n * kk, out) + pe).reshape(b, n, kk, s, out // s)
-        agg = jnp.sum(vp * w[:, :, :, None, :], axis=2)      # [B, N, s, out/s]
+        # softmax over neighbors: the only 3D hop (small tensor)
+        w3 = w.reshape(b * n, kk, cs)
+        w3 = w3 - jnp.max(w3, axis=1, keepdims=True)
+        ex = jnp.exp(w3)
+        w3 = ex / jnp.sum(ex, axis=1, keepdims=True)
+
+        # aggregation in 2D + an MXU matmul-reduce over K:
+        # out[nc] = sum_k (v+pe)[n,k,c] * w[n,k,c%cs]
+        w_full = jnp.tile(w3.reshape(bnk, cs), (1, s))       # [BNK, C]
+        prod = (v_g + pe) * w_full                           # [BNK, C] 2D
+        reduce_m = jnp.tile(jnp.eye(out, dtype=prod.dtype), (kk, 1))  # [K*C, C]
+        agg = jnp.matmul(prod.reshape(b * n, kk * out), reduce_m,
+                         precision=jax.lax.Precision.HIGHEST)
         return agg.reshape(b, n, out)
 
 
@@ -92,12 +114,14 @@ class PointTransformerBlock(nn.Module):
     share_planes: int = 8
 
     @nn.compact
-    def __call__(self, p, x, knn_idx, mask=None, train: bool = True):
+    def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
+                 p_r_flat=None):
         identity = x
         h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
         h = nn.relu(MaskedBatchNorm(name="bn1")(h, mask, train))
         h = PointTransformerLayer(self.planes, self.share_planes,
-                                  name="transformer")(p, h, knn_idx, mask, train)
+                                  name="transformer")(p, h, knn_idx, mask, train,
+                                                      p_r_flat)
         h = nn.relu(MaskedBatchNorm(name="bn2")(h, mask, train))
         h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
         h = MaskedBatchNorm(name="bn3")(h, mask, train)
@@ -237,17 +261,22 @@ class PointTransformerSeg(nn.Module):
         x = feat
 
         # ---------------- encoder ----------------
-        stages = []  # per stage: p, x, mask, knn_idx
+        stages = []  # per stage: p, x, mask, knn_idx, p_r_flat
         for i in range(bn):
             p, x, mask = TransitionDown(
                 self.planes[i], self.stride[i], self.nsample[i],
                 name=f"enc{i + 1}_down")(p, x, mask, train)
             knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask)
+            # relative-position gather hoisted: shared by every block in the
+            # stage (encoder + decoder) — gathers dominate TPU cost
+            p_r_flat = (index_points(p, knn_idx) - p[..., None, :]).reshape(-1, 3)
             for j in range(1, self.blocks[i]):
                 x = PointTransformerBlock(
                     self.planes[i], self.share_planes,
-                    name=f"enc{i + 1}_block{j}")(p, x, knn_idx, mask, train)
-            stages.append({"p": p, "x": x, "mask": mask, "knn_idx": knn_idx})
+                    name=f"enc{i + 1}_block{j}")(p, x, knn_idx, mask, train,
+                                                 p_r_flat)
+            stages.append({"p": p, "x": x, "mask": mask, "knn_idx": knn_idx,
+                           "p_r_flat": p_r_flat})
 
         # ---------------- decoder ----------------
         # topmost: bottleneck TransitionUp (is_head) + 1 block
@@ -256,7 +285,8 @@ class PointTransformerSeg(nn.Module):
             top["p"], top["x"], top["mask"], train=train)
         x = PointTransformerBlock(
             self.planes[bn - 1], self.share_planes,
-            name=f"dec{bn}_block1")(top["p"], x, top["knn_idx"], top["mask"], train)
+            name=f"dec{bn}_block1")(top["p"], x, top["knn_idx"], top["mask"],
+                                    train, top["p_r_flat"])
         up_x = [None] * bn
         up_x[bn - 1] = x
         for i in range(bn - 2, -1, -1):
@@ -268,7 +298,7 @@ class PointTransformerSeg(nn.Module):
             x = PointTransformerBlock(
                 self.planes[i], self.share_planes,
                 name=f"dec{i + 1}_block1")(lo["p"], x, lo["knn_idx"], lo["mask"],
-                                           train)
+                                           train, lo["p_r_flat"])
             up_x[i] = x
 
         up_stages = [{"p": stages[i]["p"], "x": up_x[i], "mask": stages[i]["mask"],

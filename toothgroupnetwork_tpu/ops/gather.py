@@ -23,17 +23,18 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``points[..., idx, :]`` with shape ``idx.shape + (C,)``.
     """
+    c = points.shape[-1]
     if points.ndim == 2:
-        return points[idx]
-    batch_dims = points.ndim - 2
-    # Flatten idx trailing dims, gather along axis -2, restore.
-    flat_idx = idx.reshape(idx.shape[:batch_dims] + (-1,))
-    expanded = jnp.broadcast_to(
-        flat_idx[..., None],
-        flat_idx.shape + (points.shape[-1],),
-    )
-    out = jnp.take_along_axis(points, expanded, axis=-2)
-    return out.reshape(idx.shape + (points.shape[-1],))
+        return jnp.take(points, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (c,))
+    # Batched: per-batch flat row gathers. The batched take_along_axis
+    # formulation lowers to a catastrophic gather on TPU (measured 4.7e11 bytes
+    # accessed for a [1,24000,36]x32ch gather vs 4.6e9 for flat jnp.take — 100x).
+    # B is small and static (data batch or 16 crop slots), so unroll it.
+    b = points.shape[0]
+    flat_idx = idx.reshape(b, -1)
+    outs = [jnp.take(points[i], flat_idx[i], axis=0) for i in range(b)]
+    return jnp.stack(outs).reshape(idx.shape + (c,))
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

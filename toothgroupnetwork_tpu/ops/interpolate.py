@@ -13,6 +13,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .gather import index_points
@@ -45,7 +46,16 @@ def knn_interpolate(
     recip = 1.0 / (dist + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # [..., M, k]
     neigh = index_points(source_feat, idx)  # [..., M, k, C]
-    return jnp.einsum("...mk,...mkc->...mc", weight, neigh)
+    # TPU layout: weighted sum as 2D multiply + MXU matmul-reduce over k (the
+    # naive [..., M, k, C] einsum hits pathological tile padding for small k)
+    c = source_feat.shape[-1]
+    lead = neigh.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    prod = neigh.reshape(m * k, c) * weight.reshape(m * k, 1)
+    reduce_m = jnp.tile(jnp.eye(c, dtype=prod.dtype), (k, 1))  # [k*C, C]
+    out = jnp.matmul(prod.reshape(m, k * c), reduce_m,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(lead + (c,))
 
 
 def three_nn_interpolate(target_xyz, source_xyz, source_feat,

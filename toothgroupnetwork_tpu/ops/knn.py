@@ -27,6 +27,22 @@ def _default_impl() -> str:
     return os.environ.get("TGN_TPU_KERNELS", "jnp")
 
 
+def _use_approx_topk() -> bool:
+    """Neighbor-candidate selection strategy. On TPU, ``lax.top_k`` lowers to a full
+    bitonic sort over the candidate axis — measured 2.4 TB of memory traffic per
+    24k-point backbone forward (~3 s). ``lax.approx_max_k`` uses the TPU PartialReduce
+    unit (~4x faster, recall ≈0.976 at k=36); the k selected neighbors are then
+    exactly re-scored and re-sorted, so distances/order are exact — only the
+    candidate SET is approximate. Override with TGN_TPU_KNN=exact|approx."""
+    mode = os.environ.get("TGN_TPU_KNN", "auto")
+    if mode == "exact":
+        return False
+    if mode == "approx":
+        return True
+    # the axon platform is a tunneled TPU; default_backend() reports its own name
+    return jax.default_backend() in ("tpu", "axon")
+
+
 @partial(jax.jit, static_argnames=("k", "chunk", "impl"))
 def knn_points(
     query: jnp.ndarray,
@@ -97,9 +113,14 @@ def knn_points(
 
     keff = min(k, n)
 
+    approx = _use_approx_topk() and n >= 4096
+
     def one_chunk(qc):
         d2 = square_distance(qc, points) + invalid_bias[None, :]
-        _, idx = jax.lax.top_k(-d2, keff)
+        if approx:
+            _, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
+        else:
+            _, idx = jax.lax.top_k(-d2, keff)
         if keff < k:
             # Fewer points than neighbors requested: repeat the last neighbor.
             idx = jnp.concatenate([idx] + [idx[:, -1:]] * (k - keff), axis=-1)
