@@ -20,6 +20,7 @@ from .fps import farthest_point_sample, fps
 from .knn import knn_points, knn
 from .ball_query import ball_query
 from .interpolate import three_nn_interpolate, knn_interpolate
+from .misc import aggregation, subtraction
 from .sampling import sample_and_group, sample_and_group_all
 
 __all__ = [
@@ -34,6 +35,8 @@ __all__ = [
     "ball_query",
     "three_nn_interpolate",
     "knn_interpolate",
+    "subtraction",
+    "aggregation",
     "sample_and_group",
     "sample_and_group_all",
 ]

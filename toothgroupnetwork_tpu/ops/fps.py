@@ -54,15 +54,11 @@ def farthest_point_sample(
     """
     if xyz.ndim == 3:
         if xyz.shape[0] == 1:
-            # vmap costs ~35x on the sequential loop; single-cloud path instead
+            # single-cloud path (avoids batched-gather constants in the loop body)
             return farthest_point_sample(
                 xyz[0], n_samples, None if mask is None else mask[0],
                 impl=impl)[None]
-        if mask is None:
-            mask = jnp.ones(xyz.shape[:2], dtype=bool)
-        return jax.vmap(lambda p, m: farthest_point_sample(p, n_samples, m, impl=impl))(
-            xyz, mask
-        )
+        return _fps_batched(xyz, n_samples, mask)
 
     if impl is None:
         impl = _default_impl()
@@ -96,6 +92,35 @@ def farthest_point_sample(
         return dist, idxs, nxt
 
     idxs0 = jnp.zeros((n_samples,), dtype=jnp.int32).at[0].set(start)
+    _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (neg, idxs0, start))
+    return idxs
+
+
+def _fps_batched(xyz: jnp.ndarray, n_samples: int,
+                 mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Natively batched FPS — the loop body vectorizes over B directly (vmap over
+    the single-cloud path pays large constants in the per-iteration gather)."""
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    if mask is None:
+        valid = jnp.ones((b, n), dtype=bool)
+    else:
+        valid = mask.astype(bool)
+    start = jnp.argmax(valid, axis=1).astype(jnp.int32)          # [B]
+    neg = jnp.where(valid, _BIG, -_BIG)                          # [B, N]
+    rows = jnp.arange(b)
+
+    def body(i, carry):
+        dist, idxs, last = carry
+        lastc = xyz[rows, last]                                  # [B, 3]
+        delta = xyz - lastc[:, None, :]
+        d = jnp.sum(delta * delta, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid, d, -_BIG))
+        nxt = jnp.argmax(dist, axis=1).astype(jnp.int32)         # [B]
+        idxs = idxs.at[:, i].set(nxt)
+        return dist, idxs, nxt
+
+    idxs0 = jnp.zeros((b, n_samples), jnp.int32).at[:, 0].set(start)
     _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (neg, idxs0, start))
     return idxs
 

@@ -4,10 +4,17 @@ TPU-native equivalent of the reference's CUDA ``knnquery`` kernel
 (reference: external_libs/pointops/src/knnquery/knnquery_cuda_kernel.cu:65-108; python
 wrapper returns sqrt distances, external_libs/pointops/functions/pointops.py:43).
 
-The jnp implementation tiles the query axis into static chunks; each chunk computes an
-MXU-friendly ``[chunk, N]`` squared-distance block (matmul expansion) followed by
-``lax.top_k`` — exact, deterministic, and fully fused by XLA. A Pallas kernel with a
-running per-tile top-k lives in ``ops.pallas.knn_kernel``.
+Implementation notes (all perf facts verified with chained timing +
+``compiled.cost_analysis()`` — see CLAUDE.md):
+  * distances via the MXU matmul expansion, tiled over the query axis,
+  * candidate selection: ``lax.approx_max_k`` on TPU (the PartialReduce unit;
+    ``lax.top_k`` lowers to a full bitonic sort ~4x slower), exact ``top_k``
+    elsewhere or with TGN_TPU_KNN=exact,
+  * the selected k are exactly re-scored by direct subtraction and re-sorted, so
+    returned distances/order are exact — only the candidate SET is approximate
+    (recall ≈0.98 at k=36),
+  * batched inputs are handled natively (batched einsum distances + batched
+    selection) — vmap over the single-cloud path costs ~7x in constants.
 """
 
 from __future__ import annotations
@@ -18,8 +25,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .distance import square_distance
-
 _BIG = jnp.float32(1e10)
 
 
@@ -28,19 +33,23 @@ def _default_impl() -> str:
 
 
 def _use_approx_topk() -> bool:
-    """Neighbor-candidate selection strategy. On TPU, ``lax.top_k`` lowers to a full
-    bitonic sort over the candidate axis — measured 2.4 TB of memory traffic per
-    24k-point backbone forward (~3 s). ``lax.approx_max_k`` uses the TPU PartialReduce
-    unit (~4x faster, recall ≈0.976 at k=36); the k selected neighbors are then
-    exactly re-scored and re-sorted, so distances/order are exact — only the
-    candidate SET is approximate. Override with TGN_TPU_KNN=exact|approx."""
+    """See module docstring. Override with TGN_TPU_KNN=exact|approx."""
     mode = os.environ.get("TGN_TPU_KNN", "auto")
     if mode == "exact":
         return False
     if mode == "approx":
         return True
-    # the axon platform is a tunneled TPU; default_backend() reports its own name
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _batched_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[B, M, C] x [B, N, C] -> [B, M, N] squared distances (MXU cross term)."""
+    cross = jnp.einsum("bmc,bnc->bmn", q, p,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    q2 = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
+    p2 = jnp.sum(p.astype(jnp.float32) ** 2, axis=-1)
+    return jnp.maximum(q2[:, :, None] - 2.0 * cross + p2[:, None, :], 0.0)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk", "impl"))
@@ -61,86 +70,79 @@ def knn_points(
       points: ``[N, C]`` or ``[B, N, C]`` reference points.
       k: neighbors per query (static).
       q_mask / p_mask: optional validity masks. Invalid reference points are never
-        returned as neighbors (distance pinned to 1e10); rows for invalid queries
-        contain arbitrary (but in-range) indices.
+        returned as neighbors; rows for invalid queries contain arbitrary (but
+        in-range) indices.
       chunk: query-axis tile size for the distance blocks.
 
     Returns:
-      ``(idx, dist)``: int32 ``[..., M, k]`` neighbor indices (ascending by distance)
-      and float32 Euclidean distances (sqrt of squared, matching pointops.py:43).
+      ``(idx, dist)``: int32 ``[..., M, k]`` neighbor indices (ascending by exact
+      distance) and float32 Euclidean distances (sqrt, matching pointops.py:43).
     """
-    if query.ndim == 3:
-        b = query.shape[0]
-        if b == 1:
-            # vmap costs ~7x here (it forces a batched top_k lowering); unrolled
-            # single-cloud path instead
-            idx, dist = knn_points(
-                query[0], points[0], k,
-                None if q_mask is None else q_mask[0],
-                None if p_mask is None else p_mask[0], chunk=chunk, impl=impl)
-            return idx[None], dist[None]
-        if q_mask is None:
-            q_mask = jnp.ones(query.shape[:2], dtype=bool)
-        if p_mask is None:
-            p_mask = jnp.ones(points.shape[:2], dtype=bool)
-        return jax.vmap(
-            lambda q, p, qm, pm: knn_points(q, p, k, qm, pm, chunk=chunk, impl=impl)
-        )(query, points, q_mask, p_mask)
-
     if impl is None:
         impl = _default_impl()
-    if impl == "pallas":
+    if impl == "pallas" and query.ndim == 2:
         from .pallas.knn_kernel import knn_pallas
 
         return knn_pallas(query, points, k, q_mask, p_mask)
 
-    m, _ = query.shape
-    n = points.shape[0]
-    if p_mask is None:
-        p_valid = jnp.ones((n,), dtype=bool)
-    else:
-        p_valid = p_mask.astype(bool)
+    squeeze = False
+    if query.ndim == 2:
+        query, points = query[None], points[None]
+        q_mask = None if q_mask is None else q_mask[None]
+        p_mask = None if p_mask is None else p_mask[None]
+        squeeze = True
+
+    b, m, c = query.shape
+    n = points.shape[1]
     query = query.astype(jnp.float32)
     points = points.astype(jnp.float32)
+    if p_mask is None:
+        invalid_bias = jnp.zeros((b, n), jnp.float32)
+    else:
+        invalid_bias = jnp.where(p_mask.astype(bool), 0.0, _BIG)
+
+    keff = min(k, n)
+    # approx_max_k (PartialReduce) only pays off for LONG candidate axes; for
+    # short rows it is pathologically slow (measured 92s for [16,2048,3072] vs
+    # 116ms exact top_k)
+    approx = _use_approx_topk() and n >= 8192 and keff <= 128
 
     csize = min(chunk, m)
     n_chunks = -(-m // csize)
     pad = n_chunks * csize - m
-    qpad = jnp.pad(query, ((0, pad), (0, 0)))
-    qchunks = qpad.reshape(n_chunks, csize, -1)
-
-    invalid_bias = jnp.where(p_valid, 0.0, _BIG)
-
-    keff = min(k, n)
-
-    approx = _use_approx_topk() and n >= 4096
+    qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    # [n_chunks, B, csize, C]
+    qchunks = jnp.moveaxis(qpad.reshape(b, n_chunks, csize, c), 1, 0)
 
     def one_chunk(qc):
-        d2 = square_distance(qc, points) + invalid_bias[None, :]
+        d2 = _batched_sqdist(qc, points) + invalid_bias[:, None, :]
         if approx:
             _, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
         else:
             _, idx = jax.lax.top_k(-d2, keff)
         if keff < k:
             # Fewer points than neighbors requested: repeat the last neighbor.
-            idx = jnp.concatenate([idx] + [idx[:, -1:]] * (k - keff), axis=-1)
-        # Exact recompute of the selected distances by direct subtraction: the matmul
-        # expansion can't represent self-distance as exactly 0, which would skew the
-        # inverse-distance interpolation weights downstream. O(chunk*k*C), negligible.
-        neigh = points[idx]  # [c, k, C]
-        delta = qc[:, None, :] - neigh
-        d2_exact = jnp.sum(delta * delta, axis=-1)
-        # Re-sort the k selected by exact distance: the expansion's rounding can leave
-        # borderline neighbors out of ascending order, and the contract (matching the
-        # reference's heap-sort, knnquery_cuda_kernel.cu:21-48) is ascending.
-        order = jnp.argsort(d2_exact, axis=-1)
-        d2_exact = jnp.take_along_axis(d2_exact, order, axis=-1)
-        idx = jnp.take_along_axis(idx, order, axis=-1)
-        return idx.astype(jnp.int32), jnp.sqrt(d2_exact)
+            idx = jnp.concatenate([idx] + [idx[..., -1:]] * (k - keff), axis=-1)
+        # Exact re-score of the selected candidates by direct subtraction: the
+        # matmul expansion can't represent self-distance as exactly 0 (skews the
+        # inverse-distance interpolation weights), and the approx selection needs
+        # its distances/order made exact. O(B*chunk*k*C), negligible.
+        from .gather import index_points
 
-    idx, dist = jax.lax.map(one_chunk, qchunks)
-    idx = idx.reshape(n_chunks * csize, k)[:m]
-    dist = dist.reshape(n_chunks * csize, k)[:m]
+        neigh = index_points(points, idx)          # [B, csize, k, C]
+        delta = qc[:, :, None, :] - neigh
+        d2_exact = jnp.sum(delta * delta, axis=-1)
+        # ascending re-sort of the k selected via top_k (argsort lowers ~30x
+        # slower on TPU for these shapes)
+        neg_d, order = jax.lax.top_k(-d2_exact, idx.shape[-1])
+        idx = jnp.take_along_axis(idx, order, axis=-1)
+        return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d, 0.0))
+
+    idx, dist = jax.lax.map(one_chunk, qchunks)    # [n_chunks, B, csize, k]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(b, n_chunks * csize, k)[:, :m]
+    dist = jnp.moveaxis(dist, 0, 1).reshape(b, n_chunks * csize, k)[:, :m]
+    if squeeze:
+        return idx[0], dist[0]
     return idx, dist
 
 

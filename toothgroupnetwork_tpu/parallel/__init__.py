@@ -1,0 +1,17 @@
+"""Multi-device parallelism utilities.
+
+The reference has no multi-device support of any kind (SURVEY.md §2.8); these are
+first-class here: data-parallel mesh construction + sharding helpers used by the
+Trainer, and a point-axis (sequence-parallel analog) sharded pairwise-distance
+primitive for scans too large for one chip's HBM.
+"""
+
+from .mesh import (
+    make_data_mesh,
+    shard_batch,
+    replicate,
+    sharded_square_distance,
+)
+
+__all__ = ["make_data_mesh", "shard_batch", "replicate",
+           "sharded_square_distance"]

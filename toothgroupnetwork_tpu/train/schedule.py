@@ -49,4 +49,11 @@ def make_epoch_lr_fn(opt: OptimizerConfig, sched: SchedulerConfig):
     if sched.sched == "constant":
         return lambda epoch: base
 
+    if sched.sched == "step":
+        # timm StepLRScheduler contract: decay by step_decay every full_steps epochs
+        def lr_fn(epoch: int) -> float:
+            return base * (sched.step_decay ** (epoch // max(sched.full_steps, 1)))
+
+        return lr_fn
+
     raise ValueError(f"unknown scheduler {sched.sched!r}")
