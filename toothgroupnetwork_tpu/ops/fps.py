@@ -98,9 +98,17 @@ def farthest_point_sample(
 
 def _fps_batched(xyz: jnp.ndarray, n_samples: int,
                  mask: jnp.ndarray | None) -> jnp.ndarray:
-    """Natively batched FPS — the loop body vectorizes over B directly (vmap over
-    the single-cloud path pays large constants in the per-iteration gather)."""
+    """Natively batched FPS: the loop body vectorizes over B directly.
+
+    Measured alternatives at [16, 3072]→768 on TPU: this (342 ms), lax.map over
+    the single-cloud routine (948 ms), vmap (~12 s), per-iteration one-hot einsum
+    coords (~58 s). The remaining cost is per-iteration loop overhead on small
+    tensors — a future Pallas multi-cloud kernel is the next lever."""
     b, n, _ = xyz.shape
+    # NOTE: ops/pallas/fps_kernel.py has single-cloud / grid-batched /
+    # sublane-multicloud Pallas variants; all measured SLOWER in the full bench
+    # than this XLA loop (1.17 vs 1.40 scans/s) — XLA pipelines the dependent
+    # loop better than hand-written Mosaic here. Kept for future iteration.
     xyz = xyz.astype(jnp.float32)
     if mask is None:
         valid = jnp.ones((b, n), dtype=bool)
