@@ -45,6 +45,7 @@ class PointTransformerLayer(nn.Module):
 
     planes: int
     share_planes: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
@@ -58,9 +59,9 @@ class PointTransformerLayer(nn.Module):
         cs = out // s
         b, n, kk = knn_idx.shape
         bnk = b * n * kk
-        q = nn.Dense(mid, name="linear_q")(x)
-        k = nn.Dense(mid, name="linear_k")(x)
-        v = nn.Dense(out, name="linear_v")(x)
+        q = nn.Dense(mid, dtype=self.dtype, name="linear_q")(x)
+        k = nn.Dense(mid, dtype=self.dtype, name="linear_k")(x)
+        v = nn.Dense(out, dtype=self.dtype, name="linear_v")(x)
 
         # ONE fused gather for k and v (same indices; halves gather cost)
         kv_g = index_points(jnp.concatenate([k, v], axis=-1), knn_idx)
@@ -75,20 +76,20 @@ class PointTransformerLayer(nn.Module):
             flat_mask = jnp.broadcast_to(mask[..., None], (b, n, kk)).reshape(-1)
 
         # positional MLP: Linear(3,3) + BN + ReLU + Linear(3, out)  (blocks.py:20)
-        pe = nn.Dense(3, name="linear_p0")(p_r_flat)
-        pe = MaskedBatchNorm(name="linear_p_bn")(pe, flat_mask, train)
+        pe = nn.Dense(3, dtype=self.dtype, name="linear_p0")(p_r_flat)
+        pe = MaskedBatchNorm(dtype=self.dtype, name="linear_p_bn")(pe, flat_mask, train)
         pe = nn.relu(pe)
-        pe = nn.Dense(out, name="linear_p1")(pe)            # [BNK, out]
+        pe = nn.Dense(out, dtype=self.dtype, name="linear_p1")(pe)            # [BNK, out]
 
         q_rep = jnp.repeat(q.reshape(b * n, mid), kk, axis=0)
         w = k_g - q_rep + pe
         # weight MLP: BN+ReLU+Linear(mid, mid/s)+BN+ReLU+Linear (blocks.py:22-25)
-        w = MaskedBatchNorm(name="linear_w_bn0")(w, flat_mask, train)
+        w = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn0")(w, flat_mask, train)
         w = nn.relu(w)
-        w = nn.Dense(mid // s, name="linear_w0")(w)
-        w = MaskedBatchNorm(name="linear_w_bn1")(w, flat_mask, train)
+        w = nn.Dense(mid // s, dtype=self.dtype, name="linear_w0")(w)
+        w = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn1")(w, flat_mask, train)
         w = nn.relu(w)
-        w = nn.Dense(cs, name="linear_w1")(w)               # [BNK, cs]
+        w = nn.Dense(cs, dtype=self.dtype, name="linear_w1")(w)               # [BNK, cs]
 
         # softmax over neighbors: the only 3D hop (small tensor)
         w3 = w.reshape(b * n, kk, cs)
@@ -101,9 +102,11 @@ class PointTransformerLayer(nn.Module):
         w_full = jnp.tile(w3.reshape(bnk, cs), (1, s))       # [BNK, C]
         prod = (v_g + pe) * w_full                           # [BNK, C] 2D
         reduce_m = jnp.tile(jnp.eye(out, dtype=prod.dtype), (kk, 1))  # [K*C, C]
+        prec = (jax.lax.Precision.HIGHEST if prod.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         agg = jnp.matmul(prod.reshape(b * n, kk * out), reduce_m,
-                         precision=jax.lax.Precision.HIGHEST)
-        return agg.reshape(b, n, out)
+                         preferred_element_type=jnp.float32, precision=prec)
+        return agg.reshape(b, n, out).astype(self.dtype)
 
 
 class PointTransformerBlock(nn.Module):
@@ -112,20 +115,23 @@ class PointTransformerBlock(nn.Module):
 
     planes: int
     share_planes: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
                  p_r_flat=None):
         identity = x
-        h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
-        h = nn.relu(MaskedBatchNorm(name="bn1")(h, mask, train))
-        h = PointTransformerLayer(self.planes, self.share_planes,
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype,
+                     name="linear1")(x)
+        h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, mask, train))
+        h = PointTransformerLayer(self.planes, self.share_planes, self.dtype,
                                   name="transformer")(p, h, knn_idx, mask, train,
                                                       p_r_flat)
-        h = nn.relu(MaskedBatchNorm(name="bn2")(h, mask, train))
-        h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
-        h = MaskedBatchNorm(name="bn3")(h, mask, train)
-        return nn.relu(h + identity)
+        h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn2")(h, mask, train))
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype,
+                     name="linear3")(h)
+        h = MaskedBatchNorm(dtype=self.dtype, name="bn3")(h, mask, train)
+        return nn.relu(h + identity.astype(self.dtype))
 
 
 class TransitionDown(nn.Module):
@@ -135,12 +141,14 @@ class TransitionDown(nn.Module):
     out_planes: int
     stride: int = 1
     nsample: int = 16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, mask=None, train: bool = True):
         if self.stride == 1:
-            h = nn.Dense(self.out_planes, use_bias=False, name="linear")(x)
-            h = nn.relu(MaskedBatchNorm(name="bn")(h, mask, train))
+            h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                         name="linear")(x)
+            h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn")(h, mask, train))
             return p, h, mask
         m = x.shape[1] // self.stride
         fps_idx = farthest_point_sample(p, m, mask)
@@ -157,9 +165,9 @@ class TransitionDown(nn.Module):
         if new_mask is not None:
             flat_mask = jnp.broadcast_to(new_mask[..., None],
                                          (b, mm, kk)).reshape(-1)
-        h = nn.Dense(self.out_planes, use_bias=False, name="linear")(
-            grouped.reshape(b * mm * kk, cc))
-        h = nn.relu(MaskedBatchNorm(name="bn")(h, flat_mask, train))
+        h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                     name="linear")(grouped.reshape(b * mm * kk, cc))
+        h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn")(h, flat_mask, train))
         h = h.reshape(b, mm, kk, self.out_planes)
         return new_p, jnp.max(h, axis=2), new_mask
 
@@ -170,24 +178,26 @@ class TransitionUp(nn.Module):
 
     in_planes: int
     out_planes: int | None = None  # None => is_head
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p1, x1, mask1=None, p2=None, x2=None, mask2=None,
                  train: bool = True):
         if self.out_planes is None:
             g = masked_mean(x1, mask1, axis=1)               # per-cloud mean
-            g = nn.relu(nn.Dense(self.in_planes, name="linear2")(g))  # no BN
+            g = nn.relu(nn.Dense(self.in_planes, dtype=self.dtype,
+                                 name="linear2")(g))         # no BN
             g = jnp.broadcast_to(g[:, None, :], x1.shape[:2] + (self.in_planes,))
-            h = jnp.concatenate([x1, g], axis=-1)
-            h = nn.Dense(self.in_planes, name="linear1")(h)
-            h = nn.relu(MaskedBatchNorm(name="bn1")(h, mask1, train))
+            h = jnp.concatenate([x1.astype(self.dtype), g], axis=-1)
+            h = nn.Dense(self.in_planes, dtype=self.dtype, name="linear1")(h)
+            h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, mask1, train))
             return h
-        a = nn.Dense(self.out_planes, name="linear1")(x1)
-        a = nn.relu(MaskedBatchNorm(name="bn1")(a, mask1, train))
-        b = nn.Dense(self.out_planes, name="linear2")(x2)
-        b = nn.relu(MaskedBatchNorm(name="bn2")(b, mask2, train))
+        a = nn.Dense(self.out_planes, dtype=self.dtype, name="linear1")(x1)
+        a = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn1")(a, mask1, train))
+        b = nn.Dense(self.out_planes, dtype=self.dtype, name="linear2")(x2)
+        b = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn2")(b, mask2, train))
         up = knn_interpolate(p1, p2, b, 3, mask1, mask2)     # 3-NN inverse-distance
-        return a + up
+        return (a + up).astype(self.dtype)
 
 
 class StageMLP(nn.Module):
@@ -195,11 +205,12 @@ class StageMLP(nn.Module):
     (blocks.py MLP class, 'latent' branch)."""
 
     base_fdim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = True):
-        h = nn.Dense(self.base_fdim, name="dense")(x)
-        return nn.relu(MaskedBatchNorm(name="bn")(h, mask, train))
+        h = nn.Dense(self.base_fdim, dtype=self.dtype, name="dense")(x)
+        return nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn")(h, mask, train))
 
 
 class MultiHead(nn.Module):
@@ -208,13 +219,14 @@ class MultiHead(nn.Module):
 
     k: int
     base_fdim: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, stages, up1_idx, train: bool = True):
         collect, latents = [], []
         mask0 = stages[0]["mask"]
         for i, st in enumerate(stages):
-            lat = StageMLP(self.base_fdim, name=f"stage_{i}")(
+            lat = StageMLP(self.base_fdim, self.dtype, name=f"stage_{i}")(
                 st["x"], st["mask"], train)
             latents.append(lat)
             if i == 0:
@@ -224,7 +236,8 @@ class MultiHead(nn.Module):
                 # stage-i point (heads.py:43-51, interpolation k=1)
                 collect.append(index_points(lat, up1_idx[i]))
         h = jnp.concatenate(collect, axis=-1)
-        return nn.Dense(self.k, name="cls")(h), latents
+        return nn.Dense(self.k, dtype=jnp.float32, name="cls")(
+            h.astype(jnp.float32)), latents
 
 
 class PointTransformerSeg(nn.Module):
@@ -253,26 +266,30 @@ class PointTransformerSeg(nn.Module):
     block_num: int = 5
     share_planes: int = 8
     base_fdim: int = 32
+    # computation dtype for the backbone body (bfloat16 halves the HBM traffic
+    # that dominates this model; params/stats/geometry/logits stay float32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, mask=None, train: bool = True):
         bn = self.block_num
-        p = feat[..., :3]
-        x = feat
+        p = feat[..., :3].astype(jnp.float32)  # geometry stays f32 (kNN/FPS)
+        x = feat.astype(self.dtype)
 
         # ---------------- encoder ----------------
         stages = []  # per stage: p, x, mask, knn_idx, p_r_flat
         for i in range(bn):
             p, x, mask = TransitionDown(
-                self.planes[i], self.stride[i], self.nsample[i],
+                self.planes[i], self.stride[i], self.nsample[i], self.dtype,
                 name=f"enc{i + 1}_down")(p, x, mask, train)
             knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask)
             # relative-position gather hoisted: shared by every block in the
             # stage (encoder + decoder) — gathers dominate TPU cost
-            p_r_flat = (index_points(p, knn_idx) - p[..., None, :]).reshape(-1, 3)
+            p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
+                        .reshape(-1, 3).astype(self.dtype))
             for j in range(1, self.blocks[i]):
                 x = PointTransformerBlock(
-                    self.planes[i], self.share_planes,
+                    self.planes[i], self.share_planes, self.dtype,
                     name=f"enc{i + 1}_block{j}")(p, x, knn_idx, mask, train,
                                                  p_r_flat)
             stages.append({"p": p, "x": x, "mask": mask, "knn_idx": knn_idx,
@@ -281,22 +298,23 @@ class PointTransformerSeg(nn.Module):
         # ---------------- decoder ----------------
         # topmost: bottleneck TransitionUp (is_head) + 1 block
         top = stages[bn - 1]
-        x = TransitionUp(self.planes[bn - 1], None, name=f"dec{bn}_up")(
+        x = TransitionUp(self.planes[bn - 1], None, self.dtype,
+                         name=f"dec{bn}_up")(
             top["p"], top["x"], top["mask"], train=train)
         x = PointTransformerBlock(
-            self.planes[bn - 1], self.share_planes,
+            self.planes[bn - 1], self.share_planes, self.dtype,
             name=f"dec{bn}_block1")(top["p"], x, top["knn_idx"], top["mask"],
                                     train, top["p_r_flat"])
         up_x = [None] * bn
         up_x[bn - 1] = x
         for i in range(bn - 2, -1, -1):
             lo, hi = stages[i], stages[i + 1]
-            x = TransitionUp(self.planes[i + 1], self.planes[i],
+            x = TransitionUp(self.planes[i + 1], self.planes[i], self.dtype,
                              name=f"dec{i + 1}_up")(
                 lo["p"], lo["x"], lo["mask"],
                 hi["p"], up_x[i + 1], hi["mask"], train=train)
             x = PointTransformerBlock(
-                self.planes[i], self.share_planes,
+                self.planes[i], self.share_planes, self.dtype,
                 name=f"dec{i + 1}_block1")(lo["p"], x, lo["knn_idx"], lo["mask"],
                                            train, lo["p_r_flat"])
             up_x[i] = x
@@ -311,13 +329,14 @@ class PointTransformerSeg(nn.Module):
             idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0, up_stages[i]["mask"])
             up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point per full-res point
 
-        cls_logits, _ = MultiHead(self.k, self.base_fdim, name="cls_head")(
-            up_stages, up1_idx, train)
-        offset, offset_latents = MultiHead(3, self.base_fdim, name="offset_head")(
+        cls_logits, _ = MultiHead(self.k, self.base_fdim, self.dtype,
+                                  name="cls_head")(up_stages, up1_idx, train)
+        offset, offset_latents = MultiHead(3, self.base_fdim, self.dtype,
+                                           name="offset_head")(
             up_stages, up1_idx, train)
 
         cbl_stages = [
-            {"p": st["p"], "latent": lat, "mask": st["mask"],
+            {"p": st["p"], "latent": lat.astype(jnp.float32), "mask": st["mask"],
              "knn_idx": st["knn_idx"]}
             for st, lat in zip(up_stages, offset_latents)
         ]

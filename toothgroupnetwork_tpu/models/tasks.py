@@ -61,7 +61,10 @@ register_task(ModelTask(
 
 def _pt_backbone_params(mp: dict) -> dict:
     """model_parameter → PointTransformerSeg kwargs (train_configs/pointtransformer.py
-    model_parameter contract)."""
+    model_parameter contract). Optional "dtype": "bfloat16" switches the backbone
+    computation dtype (params/logits stay f32)."""
+    import jax.numpy as jnp
+
     return dict(
         c=mp.get("input_feat", 6),
         planes=tuple(mp.get("planes", (32, 64, 128, 256, 512))),
@@ -69,6 +72,7 @@ def _pt_backbone_params(mp: dict) -> dict:
         nsample=tuple(mp.get("nsample", (36, 24, 24, 24, 24))),
         blocks=tuple(mp.get("blocks", (2, 3, 4, 6, 3))),
         block_num=mp.get("block_num", 5),
+        dtype=jnp.dtype(mp.get("dtype", "float32")),
     )
 
 

@@ -106,11 +106,12 @@ class TGNet(nn.Module):
     nsample: tuple = (36, 24, 24, 24, 24)
     blocks: tuple = (2, 3, 4, 6, 3)
     block_num: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kw = dict(c=self.c, planes=self.planes, stride=self.stride,
                   nsample=self.nsample, blocks=self.blocks,
-                  block_num=self.block_num)
+                  block_num=self.block_num, dtype=self.dtype)
         self.first_ins_cent_model = PointTransformerSeg(k=10, name="first", **kw)
         self.second_ins_cent_model = PointTransformerSeg(k=2, name="second", **kw)
 
