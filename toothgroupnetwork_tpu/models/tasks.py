@@ -224,16 +224,25 @@ def _tgnet_bdl_preset() -> TrainConfig:
     return cfg
 
 
-_BDL_ENGINE = None
+# Engines cache a frozen tgnet_fps forward + obj/json path maps, both derived
+# from the config — key the cache by that config state so two configs in one
+# process (different ckpt or data roots) never share an engine.
+_BDL_ENGINES: dict = {}
+
+
+def _bdl_engine_key(config) -> str:
+    mp = config.model_parameter
+    return repr((mp.get("fps_model_info"), mp.get("boundary_sampling_info"),
+                 mp.get("n_points")))
 
 
 def _tgnet_bdl_host_stage(state, batch, config):
-    global _BDL_ENGINE
-    if _BDL_ENGINE is None:
+    key = _bdl_engine_key(config)
+    if key not in _BDL_ENGINES:
         from ..train.bdl_engine import BdlDataEngine
 
-        _BDL_ENGINE = BdlDataEngine()
-    return _BDL_ENGINE(state, batch, config)
+        _BDL_ENGINES[key] = BdlDataEngine()
+    return _BDL_ENGINES[key](state, batch, config)
 
 
 register_task(ModelTask(

@@ -52,7 +52,7 @@ def _batched_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(q2[:, :, None] - 2.0 * cross + p2[:, None, :], 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "impl"))
+@partial(jax.jit, static_argnames=("k", "chunk", "impl", "include_self"))
 def knn_points(
     query: jnp.ndarray,
     points: jnp.ndarray,
@@ -62,6 +62,7 @@ def knn_points(
     *,
     chunk: int = 2048,
     impl: str | None = None,
+    include_self: bool = False,
 ):
     """Exact kNN from ``query`` into ``points``.
 
@@ -73,6 +74,13 @@ def knn_points(
         returned as neighbors; rows for invalid queries contain arbitrary (but
         in-range) indices.
       chunk: query-axis tile size for the distance blocks.
+      include_self: set for SELF-queries (``query is points``): guarantees row ``i``
+        contains index ``i`` itself, first (distance 0). The reference CUDA kernel
+        returns the query point itself first by construction
+        (knnquery_cuda_kernel.cu:65-108); under ``approx_max_k`` candidate
+        selection (recall ≈0.95) the self index can otherwise be dropped, which
+        would make CBL's "exclude self-loop" slice (losses/cbl_loss.py) silently
+        drop a REAL neighbor instead.
 
     Returns:
       ``(idx, dist)``: int32 ``[..., M, k]`` neighbor indices (ascending by exact
@@ -83,7 +91,8 @@ def knn_points(
     if impl == "pallas" and query.ndim == 2:
         from .pallas.knn_kernel import knn_pallas
 
-        return knn_pallas(query, points, k, q_mask, p_mask)
+        return knn_pallas(query, points, k, q_mask, p_mask,
+                          include_self=include_self)
 
     squeeze = False
     if query.ndim == 2:
@@ -113,8 +122,13 @@ def knn_points(
     qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
     # [n_chunks, B, csize, C]
     qchunks = jnp.moveaxis(qpad.reshape(b, n_chunks, csize, c), 1, 0)
+    # global query index per chunk row (self-index for include_self)
+    qidx_chunks = jnp.minimum(
+        jnp.arange(n_chunks * csize, dtype=jnp.int32), n - 1
+    ).reshape(n_chunks, csize)
 
-    def one_chunk(qc):
+    def one_chunk(args):
+        qc, qi = args
         d2 = _batched_sqdist(qc, points) + invalid_bias[:, None, :]
         if approx:
             _, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
@@ -123,22 +137,39 @@ def knn_points(
         if keff < k:
             # Fewer points than neighbors requested: repeat the last neighbor.
             idx = jnp.concatenate([idx] + [idx[..., -1:]] * (k - keff), axis=-1)
+        dup = None
+        if include_self:
+            # Prepend the query's own index as candidate 0 and drop any duplicate
+            # of it among the selected: the 0-distance tie then resolves to the
+            # self index (lax.top_k breaks ties toward the lower position).
+            self_col = jnp.broadcast_to(qi[None, :, None],
+                                        (b, qi.shape[0], 1)).astype(idx.dtype)
+            dup = idx == self_col
+            idx = jnp.concatenate([self_col, idx], axis=-1)
         # Exact re-score of the selected candidates by direct subtraction: the
         # matmul expansion can't represent self-distance as exactly 0 (skews the
         # inverse-distance interpolation weights), and the approx selection needs
         # its distances/order made exact. O(B*chunk*k*C), negligible.
         from .gather import index_points
 
-        neigh = index_points(points, idx)          # [B, csize, k, C]
+        neigh = index_points(points, idx)          # [B, csize, k(+1), C]
         delta = qc[:, :, None, :] - neigh
         d2_exact = jnp.sum(delta * delta, axis=-1)
-        # ascending re-sort of the k selected via top_k (argsort lowers ~30x
-        # slower on TPU for these shapes)
-        neg_d, order = jax.lax.top_k(-d2_exact, idx.shape[-1])
+        if include_self:
+            d2_exact = jnp.concatenate(
+                [d2_exact[..., :1],
+                 jnp.where(dup, _BIG, d2_exact[..., 1:])], axis=-1)
+        # ascending re-sort down to k via top_k (argsort lowers ~30x slower on
+        # TPU for these shapes)
+        neg_d, order = jax.lax.top_k(-d2_exact, k)
         idx = jnp.take_along_axis(idx, order, axis=-1)
-        return idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(-neg_d, 0.0))
+        # double-where safe sqrt: grad of sqrt at exactly 0 (self/duplicate
+        # points) is inf and would poison geometry gradients downstream
+        d2o = jnp.maximum(-neg_d, 0.0)
+        dist = jnp.where(d2o > 0, jnp.sqrt(jnp.where(d2o > 0, d2o, 1.0)), 0.0)
+        return idx.astype(jnp.int32), dist
 
-    idx, dist = jax.lax.map(one_chunk, qchunks)    # [n_chunks, B, csize, k]
+    idx, dist = jax.lax.map(one_chunk, (qchunks, qidx_chunks))  # [n_chunks, B, csize, k]
     idx = jnp.moveaxis(idx, 0, 1).reshape(b, n_chunks * csize, k)[:, :m]
     dist = jnp.moveaxis(dist, 0, 1).reshape(b, n_chunks * csize, k)[:, :m]
     if squeeze:

@@ -43,10 +43,14 @@ class LossMeter:
         self.loss_meter_dict: dict[str, float] = {}
         self.step_num = 0
 
-    def aggr(self, loss_map: dict):
+    def aggr(self, loss_map: dict, weight: float = 1.0):
+        """Accumulate one step's loss dict. ``weight`` makes the running average
+        item-weighted (pass the number of scans in the batch so partial validation
+        batches don't bias the mean)."""
         for key, val in loss_map.items():
-            self.loss_meter_dict[key] = self.loss_meter_dict.get(key, 0.0) + float(val)
-        self.step_num += 1
+            self.loss_meter_dict[key] = (self.loss_meter_dict.get(key, 0.0)
+                                         + float(val) * weight)
+        self.step_num += weight
 
     def get_avg_results(self) -> dict:
         return {k: v / self.step_num for k, v in self.loss_meter_dict.items()}

@@ -114,11 +114,12 @@ class Trainer:
             except Exception as e:  # wandb genuinely optional
                 self.log(f"wandb disabled: {e}")
 
-    def _device_batch(self, batch: dict, init: bool = False) -> dict:
+    def _device_batch(self, batch: dict, init: bool = False,
+                      shard: bool = True) -> dict:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         arrays.setdefault(
             "mask", np.ones(arrays["feat"].shape[:2], dtype=bool))
-        if not init and self.mesh is not None:
+        if not init and shard and self.mesh is not None:
             arrays = {k: jax.device_put(v, self.batch_sharding)
                       for k, v in arrays.items()}
         return arrays
@@ -142,7 +143,25 @@ class Trainer:
     def eval_epoch(self) -> dict:
         meter = LossMeter()
         for batch in self.val_loader:
-            db = self._device_batch(batch)
+            # Partial val batches are padded by repeating item 0 and flagged via
+            # batch_valid; slice the padding off so it can't bias the val loss
+            # (and hence best-checkpoint selection). The smaller trailing batch
+            # costs one extra eval compile and skips mesh sharding (its size need
+            # not divide the device count).
+            bv = batch.pop("batch_valid", None)
+            if bv is not None and not bv.all():
+                n_valid = int(bv.sum())
+                batch = {
+                    k: (v[:n_valid]
+                        if (isinstance(v, np.ndarray) or isinstance(v, list))
+                        and len(v) == len(bv) else v)
+                    for k, v in batch.items()
+                }
+                shard = False
+            else:
+                n_valid = len(batch["feat"])
+                shard = True
+            db = self._device_batch(batch, shard=shard)
             if self.task.host_stage is not None:
                 db.update(self.task.host_stage(self.state, {**batch, **db},
                                                self.config))
@@ -150,7 +169,7 @@ class Trainer:
             weighted = {f"{k}_val": float(v) * self._weight(k)
                         for k, v in values.items()}
             weighted["total_val"] = sum(weighted.values())
-            meter.aggr(weighted)
+            meter.aggr(weighted, weight=n_valid)
         return meter.get_avg_results()
 
     def _weight(self, name: str) -> float:
