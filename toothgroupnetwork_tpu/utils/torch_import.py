@@ -11,7 +11,9 @@ validation we map them onto this framework's flax parameter trees
   * LayerNorm ``weight/bias``          → LayerNorm ``scale/bias``.
 
 A model family provides a name map: flax param path → (torch key prefix, kind).
-Currently implemented: pointnet (tested against the actual reference torch model).
+Implemented: pointnet, the cbl point-transformer backbone (PointTransformerSeg),
+and tgnet (two prefixed backbones) — all tested against the actual reference torch
+modules (tests/test_torch_parity.py with a CPU pointops stub).
 """
 
 from __future__ import annotations
@@ -103,3 +105,117 @@ def convert_pointnet(state_dict: dict) -> dict:
     params["cls"] = _dense(sd, "conv4")
 
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# cbl point-transformer backbone + tgnet
+# ---------------------------------------------------------------------------
+
+def _strip_prefix(state_dict: dict, prefix: str) -> dict:
+    out = {}
+    for k, v in state_dict.items():
+        if not prefix or k.startswith(prefix):
+            out[k[len(prefix):]] = np.asarray(v)
+    return out
+
+
+def _pt_layer(sd, pre):
+    """PointTransformerLayer (reference blocks.py:14-29) → flax ``transformer``
+    submodule of PointTransformerBlock."""
+    p, s = {}, {}
+    p["linear_q"] = _dense(sd, pre + ".linear_q")
+    p["linear_k"] = _dense(sd, pre + ".linear_k")
+    p["linear_v"] = _dense(sd, pre + ".linear_v")
+    p["linear_p0"] = _dense(sd, pre + ".linear_p.0")
+    p["linear_p_bn"], s["linear_p_bn"] = _bn(sd, pre + ".linear_p.1")
+    p["linear_p1"] = _dense(sd, pre + ".linear_p.3")
+    p["linear_w_bn0"], s["linear_w_bn0"] = _bn(sd, pre + ".linear_w.0")
+    p["linear_w0"] = _dense(sd, pre + ".linear_w.2")
+    p["linear_w_bn1"], s["linear_w_bn1"] = _bn(sd, pre + ".linear_w.3")
+    p["linear_w1"] = _dense(sd, pre + ".linear_w.5")
+    return p, s
+
+
+def _pt_block(sd, pre):
+    """PointTransformerBlock (blocks.py:114-135)."""
+    p, s = {}, {}
+    p["linear1"] = _dense(sd, pre + ".linear1")
+    p["bn1"], s["bn1"] = _bn(sd, pre + ".bn1")
+    p["transformer"], s["transformer"] = _pt_layer(sd, pre + ".transformer2")
+    p["bn2"], s["bn2"] = _bn(sd, pre + ".bn2")
+    p["linear3"] = _dense(sd, pre + ".linear3")
+    p["bn3"], s["bn3"] = _bn(sd, pre + ".bn3")
+    return p, s
+
+
+def _multi_head(sd, pre, n_stages):
+    """MultiHead (heads.py:13-61): per-stage latent MLPs + concat linear cls.
+    parse_stage('Ua') orders infer_list by ascending up-stage index."""
+    p, s = {}, {}
+    for i in range(n_stages):
+        sp, ss = {}, {}
+        sp["dense"] = _dense(sd, f"{pre}.infer_list.{i}.infer.0")
+        sp["bn"], ss["bn"] = _bn(sd, f"{pre}.infer_list.{i}.infer.1")
+        p[f"stage_{i}"], s[f"stage_{i}"] = sp, ss
+    p["cls"] = _dense(sd, pre + ".cls")
+    return p, s
+
+
+def convert_point_transformer(state_dict: dict, block_num: int = 5,
+                              blocks=(2, 3, 4, 6, 3), prefix: str = "") -> dict:
+    """Reference ``PointTransformerSeg`` state_dict
+    (cbl_point_transformer_module.py:28-216) → flax variables for
+    :class:`~toothgroupnetwork_tpu.models.point_transformer.PointTransformerSeg`.
+
+    ``prefix``: torch key prefix to strip (e.g. ``first_ins_cent_model.`` inside a
+    tgnet checkpoint). The constructed-but-unused ``mask_head`` keys and the
+    parameter-free ``criterion`` are ignored.
+    """
+    sd = _strip_prefix(state_dict, prefix)
+    params, stats = {}, {}
+
+    for i in range(block_num):
+        # enc{i}.0 = TransitionDown (blocks.py:47-79)
+        dp, ds = {}, {}
+        dp["linear"] = _dense(sd, f"enc{i + 1}.0.linear")
+        dp["bn"], ds["bn"] = _bn(sd, f"enc{i + 1}.0.bn")
+        params[f"enc{i + 1}_down"], stats[f"enc{i + 1}_down"] = dp, ds
+        for j in range(1, blocks[i]):
+            bp, bs = _pt_block(sd, f"enc{i + 1}.{j}")
+            params[f"enc{i + 1}_block{j}"] = bp
+            stats[f"enc{i + 1}_block{j}"] = bs
+
+    for i in range(block_num, 0, -1):
+        # dec{i}.0 = TransitionUp; dec{i}.1 = block
+        up_p, up_s = {}, {}
+        up_p["linear1"] = _dense(sd, f"dec{i}.0.linear1.0")
+        up_p["bn1"], up_s["bn1"] = _bn(sd, f"dec{i}.0.linear1.1")
+        up_p["linear2"] = _dense(sd, f"dec{i}.0.linear2.0")
+        if f"dec{i}.0.linear2.1.weight" in sd:  # non-head variant has BN
+            up_p["bn2"], up_s["bn2"] = _bn(sd, f"dec{i}.0.linear2.1")
+        params[f"dec{i}_up"], stats[f"dec{i}_up"] = up_p, up_s
+        bp, bs = _pt_block(sd, f"dec{i}.1")
+        params[f"dec{i}_block1"] = bp
+        stats[f"dec{i}_block1"] = bs
+
+    for head in ("cls_head", "offset_head"):
+        hp, hs = _multi_head(sd, head, block_num)
+        params[head], stats[head] = hp, hs
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_tgnet(state_dict: dict, block_num: int = 5,
+                  blocks=(2, 3, 4, 6, 3)) -> dict:
+    """Reference ``GroupingNetworkModule`` state_dict (two cascaded backbones,
+    grouping_network_module.py:13-14) → flax variables for
+    :class:`~toothgroupnetwork_tpu.models.tgnet.TGNet`."""
+    first = convert_point_transformer(state_dict, block_num, blocks,
+                                      prefix="first_ins_cent_model.")
+    second = convert_point_transformer(state_dict, block_num, blocks,
+                                       prefix="second_ins_cent_model.")
+    return {
+        "params": {"first": first["params"], "second": second["params"]},
+        "batch_stats": {"first": first["batch_stats"],
+                        "second": second["batch_stats"]},
+    }
