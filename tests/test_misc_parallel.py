@@ -102,3 +102,50 @@ class TestStepSchedule:
         assert lr_fn(9) == 1.0
         assert lr_fn(10) == 0.5
         assert lr_fn(25) == 0.25
+
+
+class TestRingKnn:
+    def test_matches_exact_knn_8dev(self, rng):
+        # SURVEY §2.8(3): ppermute ring pass over a sharded point axis must
+        # reproduce the exact single-device kNN (global indices + distances).
+        from toothgroupnetwork_tpu.ops import knn_points
+        from toothgroupnetwork_tpu.parallel import ring_knn
+
+        assert jax.device_count() == 8
+        mesh = make_data_mesh(8, axis="model")
+        q = rng.standard_normal((128, 3)).astype(np.float32)
+        p = rng.standard_normal((256, 3)).astype(np.float32)
+        idx, dist = ring_knn(jnp.array(q), jnp.array(p), 8, mesh)
+        want_idx, want_dist = knn_points(jnp.array(q), jnp.array(p), 8)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(np.asarray(want_idx), -1))
+        np.testing.assert_allclose(np.asarray(dist), np.asarray(want_dist),
+                                   atol=1e-5)
+
+    def test_k_cap_validation(self):
+        from toothgroupnetwork_tpu.parallel import ring_knn
+
+        mesh = make_data_mesh(8, axis="model")
+        with pytest.raises(ValueError):
+            ring_knn(jnp.zeros((16, 3)), jnp.zeros((64, 3)), 9, mesh)
+
+
+class TestDistributedInit:
+    def test_single_host_noop(self):
+        from toothgroupnetwork_tpu.parallel import maybe_initialize, local_batch_slice
+        from toothgroupnetwork_tpu.train.config import TrainConfig
+
+        cfg = TrainConfig()
+        assert maybe_initialize(cfg) is False  # single process, disabled
+        start, per = local_batch_slice(8)
+        assert (start, per) == (0, 8)
+
+    def test_config_roundtrip(self):
+        from toothgroupnetwork_tpu.train.config import TrainConfig
+
+        cfg = TrainConfig()
+        cfg.distributed.enabled = True
+        cfg.distributed.coordinator_address = "10.0.0.1:1234"
+        cfg2 = TrainConfig.from_dict(cfg.to_dict())
+        assert cfg2.distributed.enabled
+        assert cfg2.distributed.coordinator_address == "10.0.0.1:1234"

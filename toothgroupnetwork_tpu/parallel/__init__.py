@@ -12,6 +12,9 @@ from .mesh import (
     replicate,
     sharded_square_distance,
 )
+from .ring import ring_knn
+from .distributed import maybe_initialize, local_batch_slice
 
 __all__ = ["make_data_mesh", "shard_batch", "replicate",
-           "sharded_square_distance"]
+           "sharded_square_distance", "ring_knn", "maybe_initialize",
+           "local_batch_slice"]

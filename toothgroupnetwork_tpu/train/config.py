@@ -50,6 +50,17 @@ class GeneratorConfig:
 
 
 @dataclass
+class DistributedConfig:
+    """Multi-host (pod) init over DCN via jax.distributed.initialize — see
+    parallel/distributed.py. Disabled = single-host, zero overhead."""
+
+    enabled: bool = False
+    coordinator_address: str | None = None   # "host:port"; None = auto-detect
+    num_processes: int | None = None          # None = auto-detect
+    process_id: int | None = None             # None = auto-detect
+
+
+@dataclass
 class TrainConfig:
     model_name: str = "pointnet"
     experiment_name: str = "exp"
@@ -68,6 +79,8 @@ class TrainConfig:
     wandb_project: str = "toothgroupnetwork-tpu"
     # data-parallel mesh: number of devices to shard the batch over (1 = single chip)
     data_parallel: int = 1
+    # multi-host pod-scale init (parallel/distributed.py)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -77,7 +90,8 @@ class TrainConfig:
         d = dict(d)
         for key, sub in (("optimizer", OptimizerConfig),
                          ("scheduler", SchedulerConfig),
-                         ("generator", GeneratorConfig)):
+                         ("generator", GeneratorConfig),
+                         ("distributed", DistributedConfig)):
             if key in d and isinstance(d[key], dict):
                 d[key] = sub(**d[key])
         return cls(**d)

@@ -70,6 +70,9 @@ def make_eval_step(task: "ModelTask", config):
 class Trainer:
     def __init__(self, config, task: "ModelTask", train_loader,
                  val_loader, log_fn=print):
+        from ..parallel.distributed import maybe_initialize
+
+        maybe_initialize(config)  # multi-host DCN init when config enables it
         self.config = config
         self.task = task
         self.train_loader = train_loader
