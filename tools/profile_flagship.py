@@ -88,6 +88,16 @@ def main():
         bench(f"knn self {nn_} k={k}", lambda x, kk=k: knn_points(x, x, kk,
                                                                   include_self=True), q)
 
+    # ---- ops: cross-kNN calls the backbone makes (TransitionDown k=16,
+    # 3-NN decoder interpolate, 1-NN head upsample) ----
+    for mq, nc, k in [(6000, 24000, 16), (1500, 6000, 16), (375, 1500, 16)]:
+        bench(f"knn cross {mq}q of {nc} k={k}",
+              lambda x, m=mq, kk=k: knn_points(x[:m], x, kk), p[:nc])
+    for mq, nc, k in [(24000, 6000, 3), (6000, 1500, 3), (24000, 6000, 1),
+                      (24000, 1500, 1), (24000, 375, 1), (24000, 93, 1)]:
+        bench(f"knn cross {mq}q of {nc} k={k}",
+              lambda x, m=mq, n2=nc, kk=k: knn_points(x[:m], x[:n2], kk), p)
+
     # ---- ops: batched stage-2 ladder (B=16) ----
     pc = jnp.asarray(rng.standard_normal((16, 3072, 3)) * 0.2, jnp.float32)
     for src, dst in [(3072, 768), (768, 192), (192, 48), (48, 12)]:
@@ -97,6 +107,25 @@ def main():
         bench(f"knn self B16 {nn_} k={k}",
               lambda x, kk=k: knn_points(x, x, kk, include_self=True),
               pc[:, :nn_])
+
+    # ---- attention block micro-bench (stage-1 / stage-2 footprint sizes) ----
+    from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+        PointTransformerBlock)
+
+    for bb, nn_, kk, cc in [(1, 24000, 36, 32), (1, 6000, 24, 64),
+                            (16, 3072, 36, 32), (16, 768, 24, 64)]:
+        blk = PointTransformerBlock(planes=cc)
+        pp = jnp.asarray(rng.standard_normal((bb, nn_, 3)) * 0.2, jnp.float32)
+        xx = jnp.asarray(rng.standard_normal((bb, nn_, cc)) * 0.2, jnp.float32)
+        kidx, _ = knn_points(pp, pp, kk, include_self=True)
+        kidx = jax.block_until_ready(kidx)
+        vs = jax.jit(blk.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), pp, xx, kidx, None, train=False)
+
+        def blk_fwd(x, v=vs, b=blk, p=pp, ki=kidx):
+            return b.apply(v, p, x, ki, None, False)
+
+        bench(f"ptblock B{bb} N{nn_} K{kk} C{cc}", blk_fwd, xx)
 
     if not quick:
         gb = cost_bytes(stage1, feat) / 1e9

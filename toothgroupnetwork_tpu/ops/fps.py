@@ -26,9 +26,17 @@ import jax.numpy as jnp
 
 _BIG = jnp.inf
 
+# VMEM budget guard for the sublane-multicloud Pallas kernel (see fps_kernel.py):
+# resident set ~ B*Np*(3+1+1)*4B for xyz/valid/dist — cap well under 16 MB.
+_MULTICLOUD_MAX_ELEMS = 640_000
+
 
 def _default_impl() -> str:
-    return os.environ.get("TGN_TPU_KERNELS", "jnp")
+    return os.environ.get("TGN_TPU_KERNELS", "auto")
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
 
 
 @partial(jax.jit, static_argnames=("n_samples", "impl"))
@@ -58,10 +66,14 @@ def farthest_point_sample(
             return farthest_point_sample(
                 xyz[0], n_samples, None if mask is None else mask[0],
                 impl=impl)[None]
-        return _fps_batched(xyz, n_samples, mask)
+        return _fps_batched(xyz, n_samples, mask, impl=impl)
 
     if impl is None:
         impl = _default_impl()
+    if impl == "auto":
+        # Measured (chained) 24000->6000: Pallas 14.0ms vs XLA loop 53.0ms;
+        # crossover ~1-2k points, below which both floor at loop latency.
+        impl = "pallas" if (_on_tpu() and xyz.shape[0] >= 2048) else "jnp"
     if impl == "pallas":
         from .pallas.fps_kernel import fps_pallas
 
@@ -97,18 +109,25 @@ def farthest_point_sample(
 
 
 def _fps_batched(xyz: jnp.ndarray, n_samples: int,
-                 mask: jnp.ndarray | None) -> jnp.ndarray:
+                 mask: jnp.ndarray | None, *, impl: str | None = None) -> jnp.ndarray:
     """Natively batched FPS: the loop body vectorizes over B directly.
 
-    Measured alternatives at [16, 3072]→768 on TPU: this (342 ms), lax.map over
-    the single-cloud routine (948 ms), vmap (~12 s), per-iteration one-hot einsum
-    coords (~58 s). The remaining cost is per-iteration loop overhead on small
-    tensors — a future Pallas multi-cloud kernel is the next lever."""
+    Measured alternatives at [16, 3072]→768 on TPU (chained timing): the Pallas
+    sublane-multicloud kernel 5.0ms < this XLA loop 15.0ms < lax.map over the
+    single-cloud routine (~60ms) < vmap (~12 s). On TPU the multicloud kernel is
+    the default for shapes within its VMEM budget; its indices can differ from
+    this loop on exact distance ties (XLA emits FMAs with different rounding) at
+    ~2e-4 rate, both picks being valid farthest points."""
     b, n, _ = xyz.shape
-    # NOTE: ops/pallas/fps_kernel.py has single-cloud / grid-batched /
-    # sublane-multicloud Pallas variants; all measured SLOWER in the full bench
-    # than this XLA loop (1.17 vs 1.40 scans/s) — XLA pipelines the dependent
-    # loop better than hand-written Mosaic here. Kept for future iteration.
+    if impl is None:
+        impl = _default_impl()
+    if impl == "auto":
+        impl = ("pallas" if (_on_tpu() and n >= 1024
+                             and b * n <= _MULTICLOUD_MAX_ELEMS) else "jnp")
+    if impl == "pallas":
+        from .pallas.fps_kernel import fps_pallas_multicloud
+
+        return fps_pallas_multicloud(xyz, n_samples, mask)
     xyz = xyz.astype(jnp.float32)
     if mask is None:
         valid = jnp.ones((b, n), dtype=bool)

@@ -111,13 +111,18 @@ def knn_points(
         invalid_bias = jnp.where(p_mask.astype(bool), 0.0, _BIG)
 
     keff = min(k, n)
-    # approx_max_k (PartialReduce) only pays off for LONG candidate axes; for
-    # short rows it is pathologically slow (measured 92s for [16,2048,3072] vs
-    # 116ms exact top_k)
-    approx = _use_approx_topk() and n >= 8192 and keff <= 128
+    # approx_max_k (PartialReduce) wins down to ~1k-long candidate axes: measured
+    # (chained, in-structure) [16,2048,3072] k=36 exact 63.8ms vs approx 10.3ms,
+    # [1,6000,6000] k=24 exact 30.9ms vs approx 5.8ms. (A round-1 note claimed
+    # approx was pathological at mid sizes — that was a measurement artifact of a
+    # giant-carry timing harness; see tools/profile_flagship.py methodology.)
+    approx = _use_approx_topk() and n >= 1024 and keff <= 128
 
+    # csize: largest tile <= chunk that minimizes padding waste (e.g. m=3072,
+    # chunk=2048 -> two 1536 tiles instead of 2048+1024-of-pad)
     csize = min(chunk, m)
     n_chunks = -(-m // csize)
+    csize = -(-m // n_chunks)
     pad = n_chunks * csize - m
     qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
     # [n_chunks, B, csize, C]

@@ -40,10 +40,12 @@ def _fps_kernel(xyz_ref, valid_ref, out_ref, dist_ref, *, m):
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
 
-    # seed with point 0 (valid points are stored first, matching the CUDA kernel
+    # seed with the first VALID point (== point 0 for valid-first padding,
+    # matching both the jnp path's argmax(valid) seed and the CUDA kernel
     # seeding with the cloud's first point, sampling_cuda_kernel.cu:39)
-    out_ref[0, 0] = jnp.int32(0)
-    seed = jnp.sum(jnp.where(lane_ids == 0, xyz_ref[:], 0.0), axis=1,
+    start = jnp.min(jnp.where(valid > 0, lane_ids, np_)).astype(jnp.int32)
+    out_ref[0, 0] = start
+    seed = jnp.sum(jnp.where(lane_ids == start, xyz_ref[:], 0.0), axis=1,
                    keepdims=True)             # [3, 1]
 
     def body(i, lastc):
@@ -75,7 +77,10 @@ def _fps_multicloud_kernel(xyz_ref, valid_ref, out_ref, dist_ref, *, m):
     dist_ref[:] = jnp.where(valid > 0, jnp.float32(1e30), neg_inf)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1)
     out_lanes = jax.lax.broadcasted_iota(jnp.int32, (b, m_pad), 1)
-    out_ref[:] = jnp.zeros((b, m_pad), jnp.int32)  # seed col 0 = index 0
+    # seed col 0 with each cloud's first VALID index (== 0 for valid-first pads)
+    start = jnp.min(jnp.where(valid > 0, lane_ids, np_), axis=1,
+                    keepdims=True).astype(jnp.int32)              # [B, 1]
+    out_ref[:] = start * (out_lanes == 0).astype(jnp.int32)
 
     def coords_of(sel):
         onehot = (lane_ids == sel).astype(jnp.float32)     # [B, Np]
@@ -96,7 +101,7 @@ def _fps_multicloud_kernel(xyz_ref, valid_ref, out_ref, dist_ref, *, m):
         out_ref[:] = out_ref[:] + nxt * (out_lanes == i).astype(jnp.int32)
         return coords_of(nxt)
 
-    jax.lax.fori_loop(1, m, body, coords_of(jnp.zeros((b, 1), jnp.int32)))
+    jax.lax.fori_loop(1, m, body, coords_of(start))
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
