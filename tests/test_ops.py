@@ -273,3 +273,66 @@ class TestSampleAndGroup:
         centers = np.asarray(new_xyz)
         raw = xyz[0][np.asarray(idx)[0]]
         np.testing.assert_allclose(g[0], raw - centers[0][:, None, :], atol=1e-5)
+
+
+class TestNeedDist:
+    """need_dist=False skips the exact re-score but must return the SAME
+    neighbor set (and keep the include_self guarantee)."""
+
+    def test_same_set(self, rng):
+        pts = rng.standard_normal((300, 3)).astype(np.float32)
+        i1, _ = knn_points(jnp.array(pts), jnp.array(pts), 8)
+        i2, _ = knn_points(jnp.array(pts), jnp.array(pts), 8, need_dist=False)
+        assert (np.sort(np.asarray(i1), -1) == np.sort(np.asarray(i2), -1)).all()
+
+    def test_include_self_first(self, rng):
+        pts = rng.standard_normal((200, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(pts), jnp.array(pts), 6,
+                               include_self=True, need_dist=False)
+        assert (np.asarray(idx)[:, 0] == np.arange(200)).all()
+        assert (np.asarray(dist)[:, 0] == 0).all()
+
+    def test_approx_mode_same_contract(self, rng, monkeypatch):
+        monkeypatch.setenv("TGN_TPU_KNN", "approx")
+        pts = rng.standard_normal((1500, 3)).astype(np.float32)
+        idx, _ = knn_points(jnp.array(pts), jnp.array(pts), 8,
+                            include_self=True, need_dist=False)
+        assert (np.asarray(idx)[:, 0] == np.arange(1500)).all()
+        # no duplicate of self among the rest
+        rest = np.asarray(idx)[:, 1:]
+        assert (rest != np.arange(1500)[:, None]).all()
+
+
+class TestPallasKNN:
+    """ops/pallas/knn_kernel.py — exact selection kernel (interpret mode on
+    CPU). Contract-equal to the default jnp exact path."""
+
+    def test_matches_default(self, rng):
+        pts = rng.standard_normal((260, 3)).astype(np.float32)
+        q = rng.standard_normal((70, 3)).astype(np.float32)
+        want, wd = knn_points(jnp.array(q), jnp.array(pts), 5, impl="jnp")
+        got, gd = knn_points(jnp.array(q), jnp.array(pts), 5, impl="pallas")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-5)
+
+    def test_include_self(self, rng):
+        pts = rng.standard_normal((150, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(pts), jnp.array(pts), 4,
+                               impl="pallas", include_self=True)
+        assert (np.asarray(idx)[:, 0] == np.arange(150)).all()
+        assert (np.asarray(dist)[:, 0] == 0).all()
+
+    def test_masked(self, rng):
+        pts = rng.standard_normal((140, 3)).astype(np.float32)
+        valid = np.arange(140) < 100
+        q = rng.standard_normal((30, 3)).astype(np.float32)
+        idx, _ = knn_points(jnp.array(q), jnp.array(pts), 6, impl="pallas",
+                            p_mask=jnp.array(valid))
+        assert (np.asarray(idx) < 100).all()
+
+    def test_k_exceeds_n(self, rng):
+        pts = rng.standard_normal((10, 3)).astype(np.float32)
+        q = rng.standard_normal((6, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(q), jnp.array(pts), 16, impl="pallas")
+        assert idx.shape == (6, 16)
+        assert (np.diff(np.asarray(dist), axis=-1) >= -1e-6).all()

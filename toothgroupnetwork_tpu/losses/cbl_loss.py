@@ -62,7 +62,7 @@ def cbl_loss_per_stage(
             labels = onehot0
         else:
             kr = int(math.prod(stride[:i]))
-            idx, _ = knn_points(st["p"], p0, kr, st["mask"], m0)
+            idx, _ = knn_points(st["p"], p0, kr, st["mask"], m0, need_dist=False)
             labels = jnp.mean(index_points(onehot0, idx), axis=2)  # [B,Ni,ncls]
 
         nb_idx = st["knn_idx"][..., 1:]  # exclude self-loop

@@ -21,7 +21,8 @@ from ..ops import index_points, knn_points
 
 def edge_conv_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
     """[B, N, C] → [B, N, K, 2C] EdgeConv tensor ``[x_j − x_i, x_i]``."""
-    idx, _ = knn_points(x, x, k, mask, mask, include_self=True)
+    idx, _ = knn_points(x, x, k, mask, mask, include_self=True,
+                        need_dist=False)
     neigh = index_points(x, idx)  # [B, N, K, C]
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)

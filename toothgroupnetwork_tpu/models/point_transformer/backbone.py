@@ -23,6 +23,7 @@ Faithful quirks preserved:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import flax.linen as nn
@@ -31,6 +32,17 @@ import jax.numpy as jnp
 
 from ...nn.layers import MaskedBatchNorm, masked_mean
 from ...ops import farthest_point_sample, index_points, knn_interpolate, knn_points
+
+
+def _use_fused_attention(train: bool) -> bool:
+    """TGN_TPU_ATTENTION=fused routes the eval-mode forward through the Pallas
+    vector-attention kernel (ops/pallas/attention_kernel.py; interpret mode
+    off-TPU). Default is the XLA graph: the kernel is numerically exact but its
+    [TR·K, C] layout wastes 3/4 of each 128-lane register at C=32 and measures
+    16.3 ms/layer vs ~5 ms for the XLA post-gather chain — a lane-packed
+    [TR, K·C] redesign is required before it can win. The train path always
+    uses the XLA graph (BatchNorm needs global batch statistics)."""
+    return (not train) and os.environ.get("TGN_TPU_ATTENTION", "xla") == "fused"
 
 
 class PointTransformerLayer(nn.Module):
@@ -59,14 +71,19 @@ class PointTransformerLayer(nn.Module):
         cs = out // s
         b, n, kk = knn_idx.shape
         bnk = b * n * kk
-        q = nn.Dense(mid, dtype=self.dtype, name="linear_q")(x)
-        k = nn.Dense(mid, dtype=self.dtype, name="linear_k")(x)
-        v = nn.Dense(out, dtype=self.dtype, name="linear_v")(x)
+        cin = x.shape[-1]
+        d_q = nn.Dense(mid, dtype=self.dtype, name="linear_q")
+        d_k = nn.Dense(mid, dtype=self.dtype, name="linear_k")
+        d_v = nn.Dense(out, dtype=self.dtype, name="linear_v")
+        q = d_q(x)
 
-        # ONE fused gather for k and v (same indices; halves gather cost)
-        kv_g = index_points(jnp.concatenate([k, v], axis=-1), knn_idx)
-        kv_g = kv_g.reshape(bnk, mid + out)
-        k_g, v_g = kv_g[:, :mid], kv_g[:, mid:]
+        # Gather the RAW features once and project k/v AFTER the gather (the
+        # projections commute with the row gather). The gather is the layer's
+        # dominant TPU cost and scales with gathered BYTES (~60-90 GB/s
+        # effective, 8-sublane read amplification), so moving C channels
+        # instead of the 2C-wide concat(k, v) halves it; projecting the K-fold
+        # duplicated rows costs only negligible MXU FLOPs.
+        x_g = index_points(x, knn_idx).reshape(bnk, cin)
         if p_r_flat is None:
             p_r_flat = (index_points(p, knn_idx) - p[..., None, :]
                         ).reshape(bnk, 3)
@@ -75,21 +92,76 @@ class PointTransformerLayer(nn.Module):
         if mask is not None:
             flat_mask = jnp.broadcast_to(mask[..., None], (b, n, kk)).reshape(-1)
 
+        # submodules shared by the fused and unfused paths (same names/params)
+        d_p0 = nn.Dense(3, dtype=self.dtype, name="linear_p0")
+        bn_p = MaskedBatchNorm(dtype=self.dtype, name="linear_p_bn")
+        d_p1 = nn.Dense(out, dtype=self.dtype, name="linear_p1")
+        bn_w0 = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn0")
+        d_w0 = nn.Dense(mid // s, dtype=self.dtype, name="linear_w0")
+        bn_w1 = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn1")
+        d_w1 = nn.Dense(cs, dtype=self.dtype, name="linear_w1")
+
+        if _use_fused_attention(train):
+            # Fused Pallas path (eval only): recover each submodule's affine
+            # weights by probing it with zeros/identity (creates the params with
+            # the exact same names; avoids private variable access), fold the
+            # eval-mode BNs, and run the whole post-gather chain in one kernel.
+            from ...ops.pallas.attention_kernel import fused_vector_attention
+
+            f32 = jnp.float32
+
+            def dense_wb(d, din):
+                bias = d(jnp.zeros((1, din), self.dtype)).astype(f32)
+                ker = d(jnp.eye(din, dtype=self.dtype)).astype(f32) - bias
+                return ker, bias[0]
+
+            def bn_ab(bn, din):
+                shift = bn(jnp.zeros((1, din), self.dtype), None,
+                           False).astype(f32)
+                scale = bn(jnp.ones((1, din), self.dtype), None,
+                           False).astype(f32) - shift
+                return scale[0], shift[0]
+
+            w_p0, b_p0 = dense_wb(d_p0, 3)
+            a_p, bshift_p = bn_ab(bn_p, 3)
+            w_p1, b_p1 = dense_wb(d_p1, 3)
+            a_w0, b_w0 = bn_ab(bn_w0, mid)
+            w_w0, c_w0 = dense_wb(d_w0, mid)
+            a_w1, b_w1 = bn_ab(bn_w1, cs)
+            w_w1, c_w1 = dense_wb(d_w1, cs)
+            w_k, b_k = dense_wb(d_k, cin)
+            w_v, b_v = dense_wb(d_v, cin)
+            params = {
+                # BN folded into the Dense(3,3): bn(xW+b) = x(W*a) + (b*a+shift)
+                "a0": w_p0 * a_p[None, :], "b0": b_p0 * a_p + bshift_p,
+                "a1": w_p1, "b1": b_p1,
+                "bn0_scale": a_w0, "bn0_shift": b_w0, "w0": w_w0, "c0": c_w0,
+                "bn1_scale": a_w1, "bn1_shift": b_w1, "w1": w_w1, "c1": c_w1,
+                "wk": w_k, "bk": b_k, "wv": w_v, "bv": b_v,
+            }
+            agg = fused_vector_attention(
+                q.reshape(b * n, mid).astype(f32), x_g,
+                p_r_flat, params, k=kk)
+            return agg.reshape(b, n, out).astype(self.dtype)
+
+        k_g = d_k(x_g)                                        # [BNK, mid]
+        v_g = d_v(x_g)                                        # [BNK, out]
+
         # positional MLP: Linear(3,3) + BN + ReLU + Linear(3, out)  (blocks.py:20)
-        pe = nn.Dense(3, dtype=self.dtype, name="linear_p0")(p_r_flat)
-        pe = MaskedBatchNorm(dtype=self.dtype, name="linear_p_bn")(pe, flat_mask, train)
+        pe = d_p0(p_r_flat)
+        pe = bn_p(pe, flat_mask, train)
         pe = nn.relu(pe)
-        pe = nn.Dense(out, dtype=self.dtype, name="linear_p1")(pe)            # [BNK, out]
+        pe = d_p1(pe)                                                         # [BNK, out]
 
         q_rep = jnp.repeat(q.reshape(b * n, mid), kk, axis=0)
         w = k_g - q_rep + pe
         # weight MLP: BN+ReLU+Linear(mid, mid/s)+BN+ReLU+Linear (blocks.py:22-25)
-        w = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn0")(w, flat_mask, train)
+        w = bn_w0(w, flat_mask, train)
         w = nn.relu(w)
-        w = nn.Dense(mid // s, dtype=self.dtype, name="linear_w0")(w)
-        w = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn1")(w, flat_mask, train)
+        w = d_w0(w)
+        w = bn_w1(w, flat_mask, train)
         w = nn.relu(w)
-        w = nn.Dense(cs, dtype=self.dtype, name="linear_w1")(w)               # [BNK, cs]
+        w = d_w1(w)                                                           # [BNK, cs]
 
         # softmax over neighbors: the only 3D hop (small tensor)
         w3 = w.reshape(b * n, kk, cs)
@@ -155,7 +227,8 @@ class TransitionDown(nn.Module):
         new_p = index_points(p, fps_idx)
         new_mask = (index_points(mask[..., None].astype(jnp.float32), fps_idx)
                     [..., 0] > 0) if mask is not None else None
-        idx, _ = knn_points(new_p, p, self.nsample, new_mask, mask)
+        idx, _ = knn_points(new_p, p, self.nsample, new_mask, mask,
+                            need_dist=False)
         grouped_x = index_points(x, idx)
         grouped_p = index_points(p, idx) - new_p[..., None, :]
         grouped = jnp.concatenate([grouped_p, grouped_x], axis=-1)
@@ -283,7 +356,7 @@ class PointTransformerSeg(nn.Module):
                 self.planes[i], self.stride[i], self.nsample[i], self.dtype,
                 name=f"enc{i + 1}_down")(p, x, mask, train)
             knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
-                                    include_self=True)
+                                    include_self=True, need_dist=False)
             # relative-position gather hoisted: shared by every block in the
             # stage (encoder + decoder) — gathers dominate TPU cost
             p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
@@ -327,7 +400,8 @@ class PointTransformerSeg(nn.Module):
         p0, m0 = up_stages[0]["p"], up_stages[0]["mask"]
         up1_idx = [None]
         for i in range(1, bn):
-            idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0, up_stages[i]["mask"])
+            idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0, up_stages[i]["mask"],
+                                need_dist=False)
             up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point per full-res point
 
         cls_logits, _ = MultiHead(self.k, self.base_fdim, self.dtype,

@@ -81,7 +81,7 @@ def make_crops(feat: jnp.ndarray, centroids: jnp.ndarray, crop_valid: jnp.ndarra
     b, n, c = feat.shape
     k = centroids.shape[1]
     idx, _ = knn_points(centroids, feat[..., :3], crop_size,
-                        None, mask)                                # [B,K,S]
+                        None, mask, need_dist=False)                                # [B,K,S]
     crop = index_points(feat, idx)                                 # [B,K,S,C]
     xyz = crop[..., :3]
     xyz = xyz - jnp.mean(xyz, axis=2, keepdims=True)               # per-crop center

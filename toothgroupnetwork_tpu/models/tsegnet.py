@@ -139,7 +139,7 @@ class TSegNetModule(nn.Module):
 
         b, k = center_points.shape[:2]
         crop_idx, _ = knn_points(center_points, feat[..., :3], self.crop_size,
-                                 None, mask)                       # [B,K,S]
+                                 None, mask, need_dist=False)      # [B,K,S]
         crop_input = index_points(feat, crop_idx)                  # [B,K,S,6]
         crop_l0 = index_points(out["l0_points"], crop_idx)         # [B,K,S,32]
         flat = lambda x: x.reshape((b * k,) + x.shape[2:])

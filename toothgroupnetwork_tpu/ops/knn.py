@@ -52,7 +52,8 @@ def _batched_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(q2[:, :, None] - 2.0 * cross + p2[:, None, :], 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "impl", "include_self"))
+@partial(jax.jit, static_argnames=("k", "chunk", "impl", "include_self",
+                                   "need_dist"))
 def knn_points(
     query: jnp.ndarray,
     points: jnp.ndarray,
@@ -63,6 +64,7 @@ def knn_points(
     chunk: int = 2048,
     impl: str | None = None,
     include_self: bool = False,
+    need_dist: bool = True,
 ):
     """Exact kNN from ``query`` into ``points``.
 
@@ -82,6 +84,14 @@ def knn_points(
         would make CBL's "exclude self-loop" slice (losses/cbl_loss.py) silently
         drop a REAL neighbor instead.
 
+      need_dist: set ``False`` when the caller consumes only the neighbor SET
+        (attention neighborhoods, crops, TransitionDown, 1-NN head upsample —
+        none of them read ``dist``): skips the exact re-score gather
+        ([B·M·k, 3] random rows — ~40% of kNN cost at the flagship's shapes) and
+        returns distances in matmul-expansion precision instead. The candidate
+        set and the ``include_self`` guarantee are unchanged; only the returned
+        distances (and the order among near-exact ties) are approximate.
+
     Returns:
       ``(idx, dist)``: int32 ``[..., M, k]`` neighbor indices (ascending by exact
       distance) and float32 Euclidean distances (sqrt, matching pointops.py:43).
@@ -92,7 +102,7 @@ def knn_points(
         from .pallas.knn_kernel import knn_pallas
 
         return knn_pallas(query, points, k, q_mask, p_mask,
-                          include_self=include_self)
+                          include_self=include_self, need_dist=need_dist)
 
     squeeze = False
     if query.ndim == 2:
@@ -136,12 +146,14 @@ def knn_points(
         qc, qi = args
         d2 = _batched_sqdist(qc, points) + invalid_bias[:, None, :]
         if approx:
-            _, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
+            vals, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
         else:
-            _, idx = jax.lax.top_k(-d2, keff)
+            vals, idx = jax.lax.top_k(-d2, keff)
         if keff < k:
             # Fewer points than neighbors requested: repeat the last neighbor.
             idx = jnp.concatenate([idx] + [idx[..., -1:]] * (k - keff), axis=-1)
+            vals = jnp.concatenate(
+                [vals] + [vals[..., -1:]] * (k - keff), axis=-1)
         dup = None
         if include_self:
             # Prepend the query's own index as candidate 0 and drop any duplicate
@@ -151,26 +163,42 @@ def knn_points(
                                         (b, qi.shape[0], 1)).astype(idx.dtype)
             dup = idx == self_col
             idx = jnp.concatenate([self_col, idx], axis=-1)
-        # Exact re-score of the selected candidates by direct subtraction: the
-        # matmul expansion can't represent self-distance as exactly 0 (skews the
-        # inverse-distance interpolation weights), and the approx selection needs
-        # its distances/order made exact. O(B*chunk*k*C), negligible.
-        from .gather import index_points
 
-        neigh = index_points(points, idx)          # [B, csize, k(+1), C]
-        delta = qc[:, :, None, :] - neigh
-        d2_exact = jnp.sum(delta * delta, axis=-1)
-        if include_self:
-            d2_exact = jnp.concatenate(
-                [d2_exact[..., :1],
-                 jnp.where(dup, _BIG, d2_exact[..., 1:])], axis=-1)
-        # ascending re-sort down to k via top_k (argsort lowers ~30x slower on
-        # TPU for these shapes)
-        neg_d, order = jax.lax.top_k(-d2_exact, k)
-        idx = jnp.take_along_axis(idx, order, axis=-1)
+        if need_dist:
+            # Exact re-score of the selected candidates by direct subtraction:
+            # the matmul expansion can't represent self-distance as exactly 0
+            # (skews the inverse-distance interpolation weights), and the approx
+            # selection needs its distances/order made exact. The [B·csize·k, C]
+            # random-row gather is the cost — skipped when need_dist=False.
+            from .gather import index_points
+
+            neigh = index_points(points, idx)          # [B, csize, k(+1), C]
+            delta = qc[:, :, None, :] - neigh
+            d2_sel = jnp.sum(delta * delta, axis=-1)
+            if include_self:
+                d2_sel = jnp.concatenate(
+                    [d2_sel[..., :1],
+                     jnp.where(dup, _BIG, d2_sel[..., 1:])], axis=-1)
+        else:
+            # Selection-precision distances: self is pinned to exactly 0 and
+            # duplicates of it to _BIG so the dedup/ordering semantics match the
+            # exact path; everything else keeps the matmul-expansion value.
+            d2_sel = jnp.maximum(-vals, 0.0)
+            if include_self:
+                zeros = jnp.zeros(d2_sel[..., :1].shape, d2_sel.dtype)
+                d2_sel = jnp.concatenate(
+                    [zeros, jnp.where(dup, _BIG, d2_sel)], axis=-1)
+
+        if include_self or need_dist:
+            # ascending re-sort down to k via top_k (argsort lowers ~30x slower
+            # on TPU for these shapes)
+            neg_d, order = jax.lax.top_k(-d2_sel, k)
+            idx = jnp.take_along_axis(idx, order, axis=-1)
+            d2o = jnp.maximum(-neg_d, 0.0)
+        else:
+            d2o = d2_sel  # top_k/approx_max_k already return sorted ascending d2
         # double-where safe sqrt: grad of sqrt at exactly 0 (self/duplicate
         # points) is inf and would poison geometry gradients downstream
-        d2o = jnp.maximum(-neg_d, 0.0)
         dist = jnp.where(d2o > 0, jnp.sqrt(jnp.where(d2o > 0, d2o, 1.0)), 0.0)
         return idx.astype(jnp.int32), dist
 
@@ -180,6 +208,39 @@ def knn_points(
     if squeeze:
         return idx[0], dist[0]
     return idx, dist
+
+
+def finalize_selection(query: jnp.ndarray, points: jnp.ndarray,
+                       idx: jnp.ndarray, qi: jnp.ndarray, k: int, *,
+                       include_self: bool = False, need_dist: bool = True):
+    """Shared post-selection finalize for alternate selection backends (the
+    Pallas kernel): exact re-score of the selected candidates by direct
+    subtraction, optional self-inclusion (prepend ``qi``, drop its duplicate),
+    ascending re-sort, safe sqrt — identical semantics to the default path's
+    in-chunk finalize above.
+
+    query/points: ``[B, M, C]`` / ``[B, N, C]``; idx ``[B, M, k]``; qi
+    ``[B, M]`` the query's own index into ``points`` (used when
+    ``include_self``). Returns ``(idx [B, M, k] int32, dist [B, M, k] f32)``.
+    """
+    from .gather import index_points
+
+    dup = None
+    if include_self:
+        self_col = qi[..., None].astype(idx.dtype)
+        dup = idx == self_col
+        idx = jnp.concatenate([self_col, idx], axis=-1)
+    neigh = index_points(points, idx)
+    delta = query[:, :, None, :] - neigh
+    d2 = jnp.sum(delta * delta, axis=-1)
+    if include_self:
+        d2 = jnp.concatenate(
+            [d2[..., :1], jnp.where(dup, _BIG, d2[..., 1:])], axis=-1)
+    neg_d, order = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(idx, order, axis=-1)
+    d2o = jnp.maximum(-neg_d, 0.0)
+    dist = jnp.where(d2o > 0, jnp.sqrt(jnp.where(d2o > 0, d2o, 1.0)), 0.0)
+    return idx.astype(jnp.int32), dist
 
 
 def knn(query, points, k, q_mask=None, p_mask=None, **kw):

@@ -1,0 +1,200 @@
+"""Fused vector-attention Pallas kernel (inference path).
+
+Fuses the post-gather chain of the point-transformer attention layer
+(reference semantics: models/modules/cbl_point_transformer/blocks.py:14-44 —
+position MLP, grouped weight MLP, per-neighborhood softmax, weighted sum) into
+ONE VMEM-resident kernel. The XLA graph materializes ~10 HBM round trips of
+``[B·N·K, C]`` intermediates per layer (pe, w, q_rep, prod, ... ≈ 8 GB accessed
+per stage-1 layer); here each row tile makes exactly one trip: read
+``kv_g``/``p_r``/``q``, write ``agg``.
+
+Division of labor (deliberate):
+  * the kNN gather producing ``kv_g`` stays in XLA — a flat row gather is
+    already near its bandwidth floor and its output feeds this kernel once,
+  * train-mode BatchNorm needs global batch statistics over all valid rows, so
+    the train path keeps the unfused XLA graph; this kernel is the ``train=False``
+    specialization with the BN affine factors FOLDED into scale/shift vectors
+    (done by the caller, models/point_transformer/backbone.py).
+
+Layout notes (TPU):
+  * all per-neighbor tensors run as 2D ``[TR·K, C]`` tiles (lane dim C),
+  * the neighborhood softmax and the final sum-over-K use 3D ``[TR, K, cs|C]``
+    views — reductions over the second-minor (sublane) axis, which Mosaic
+    handles natively; K and cs are small so the temporary lane waste is
+    irrelevant,
+  * weights enter VMEM whole (biggest is ``W0 [C, C/s]`` = 64 KB at C=512).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, xg_ref, pr_ref, wk_ref, wv_ref, a0_ref, b0_ref,
+                 a1_ref, b1_ref, w0_ref, c0_ref, w1_ref, c1_ref, out_ref, *,
+                 k: int, c: int, cs: int):
+    """One row tile: q [TR, C], x_g [TRK, C], p_r [TRK, 3] -> agg [TR, C].
+
+    The k/v projections run IN-KERNEL on the gathered neighbors (wk/wv packed
+    as [C+1, C]: last row is the bias): the HBM gather then moves C channels
+    instead of 2C — the gather is the layer's dominant cost (measured ~60-90
+    GB/s effective with 8-sublane read amplification), while projecting the
+    K-fold duplicated rows costs only MXU FLOPs.
+
+    a0/b0: pe Dense(3,3) + folded BN scale/shift baked in (see fold in wrapper);
+    a1/b1: pe Dense(3,C). w0/c0: folded-BN+Dense(C,cs) pair; w1/c1: folded
+    BN+Dense(cs,cs). ReLUs between as in blocks.py:20-25.
+    """
+    tr = q_ref.shape[0]
+    trk = tr * k
+
+    p_r = pr_ref[:].astype(jnp.float32)                    # [TRK, 3]
+    # pe = Dense(3->C)(relu(scale*(Dense(3->3)(p_r)) + shift))
+    pe0 = jnp.dot(p_r, a0_ref[:], preferred_element_type=jnp.float32)
+    pe0 = jnp.maximum(pe0 + b0_ref[:], 0.0)
+    pe = jnp.dot(pe0, a1_ref[:], preferred_element_type=jnp.float32)
+    pe = pe + b1_ref[:]                                    # [TRK, C]
+
+    x_g = xg_ref[:].astype(jnp.float32)                    # [TRK, C]
+    k_g = jnp.dot(x_g, wk_ref[:c, :],
+                  preferred_element_type=jnp.float32) + wk_ref[c:c + 1, :]
+    v_g = jnp.dot(x_g, wv_ref[:c, :],
+                  preferred_element_type=jnp.float32) + wv_ref[c:c + 1, :]
+
+    # q broadcast to neighbors: [TR, C] -> [TR, K, C] -> [TRK, C]
+    q_rep = jnp.broadcast_to(q_ref[:][:, None, :], (tr, k, c)).reshape(trk, c)
+
+    w = k_g - q_rep + pe                                   # [TRK, C]
+    # folded BN0 + ReLU + Dense(C->cs) + folded BN1 + ReLU + Dense(cs->cs)
+    w = jnp.maximum(w * w0_ref[0, :c][None, :] + w0_ref[1, :c][None, :], 0.0)
+    w = jnp.dot(w, w0_ref[2:2 + c, :cs], preferred_element_type=jnp.float32)
+    w = w + c0_ref[:]                                      # [TRK, cs]
+    w = jnp.maximum(w * w1_ref[0, :cs][None, :] + w1_ref[1, :cs][None, :], 0.0)
+    w = jnp.dot(w, w1_ref[2:2 + cs, :cs], preferred_element_type=jnp.float32)
+    w = w + c1_ref[:]                                      # [TRK, cs]
+
+    # softmax over the K neighbors (axis -2 of the 3D view)
+    w3 = w.reshape(tr, k, cs)
+    w3 = w3 - jnp.max(w3, axis=1, keepdims=True)
+    ex = jnp.exp(w3)
+    w3 = ex / jnp.sum(ex, axis=1, keepdims=True)           # [TR, K, cs]
+
+    # grouped broadcast cs -> C (channel c uses weight c % cs) and aggregate
+    vpe = (v_g + pe).reshape(tr, k, c)
+    wf = jnp.concatenate([w3] * (c // cs), axis=-1)        # [TR, K, C]
+    out_ref[:] = jnp.sum(vpe * wf, axis=1)                 # [TR, C]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_rows"))
+def fused_vector_attention(q, x_g, p_r, params, *, k: int,
+                           tile_rows: int | None = None):
+    """q [BN, C] f32; x_g [BN*K, C] gathered neighbor features (any float
+    dtype — bf16 halves the dominant HBM read); p_r [BN*K, 3]; params: dict of
+    FOLDED weights (see :func:`fold_attention_params` — must include the k/v
+    projections as ``wk``/``bk``/``wv``/``bv``). Returns agg [BN, C] f32.
+    """
+    bn, c = q.shape
+    cs = params["w1"].shape[-1]
+    if tile_rows is None:
+        # Mosaic's scoped-vmem stack is 16 MB and every [TRK, <=128]-lane f32
+        # temporary pads its rows to 512 B: ~4-5 live temps => ~2 KB per
+        # neighbor row (measured: 18.04 MB at tr=256, k=36, c=32). Keep
+        # tr*k*ceil(c/128)*2KB comfortably under the limit.
+        tile_rows = max(8, min(128, (128 * 128) // max(c, 128)))
+        tile_rows -= tile_rows % 8
+    tr = min(tile_rows, -(-bn // 8) * 8)   # keep sublane-aligned row tiles
+    n_tiles = -(-bn // tr)
+    pad = n_tiles * tr - bn
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        x_g = jnp.pad(x_g, ((0, pad * k), (0, 0)))
+        p_r = jnp.pad(p_r, ((0, pad * k), (0, 0)))
+
+    wk = jnp.concatenate([params["wk"], params["bk"][None, :]], axis=0)
+    wv = jnp.concatenate([params["wv"], params["bv"][None, :]], axis=0)
+
+    # pack the two w-path stages as [2 + C, cs]-ish blocks: row0 scale, row1
+    # shift, rows 2.. the dense matrix (keeps the arg list short)
+    w0p = jnp.zeros((2 + c, max(cs, c)), jnp.float32)
+    w0p = w0p.at[0, :c].set(params["bn0_scale"]).at[1, :c].set(
+        params["bn0_shift"]).at[2:, :cs].set(params["w0"])
+    w1p = jnp.zeros((2 + cs, cs), jnp.float32)
+    w1p = w1p.at[0, :cs].set(params["bn1_scale"]).at[1, :cs].set(
+        params["bn1_shift"]).at[2:, :].set(params["w1"])
+
+    out = pl.pallas_call(
+        partial(_attn_kernel, k=k, c=c, cs=cs),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr * k, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr * k, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wk packed [C+1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wv packed [C+1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a0 [3,3]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b0 [3]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a1 [3,C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1 [C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w0 packed
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c0 [cs]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1 packed
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c1 [cs]
+        ],
+        out_specs=pl.BlockSpec((tr, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tr, c), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(q, x_g, p_r, wk, wv,
+      params["a0"], params["b0"][None, :], params["a1"],
+      params["b1"][None, :], w0p, params["c0"][None, :], w1p,
+      params["c1"][None, :])
+    return out[:bn]
+
+
+def fold_bn(scale, bias, mean, var, eps=1e-5):
+    """Eval-mode BatchNorm as an affine pair (a, b): y = a*x + b."""
+    a = scale / jnp.sqrt(var + eps)
+    return a, bias - mean * a
+
+
+def fold_attention_params(variables, eps=1e-5):
+    """Fold a PointTransformerLayer's eval-mode sub-params for the kernel.
+
+    ``variables``: the layer's param/batch_stats subtree holding linear_p0,
+    linear_p_bn, linear_p1, linear_w_bn0, linear_w0, linear_w_bn1, linear_w1
+    (names from models/point_transformer/backbone.py).
+    """
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    a_p, b_p = fold_bn(p["linear_p_bn"]["scale"], p["linear_p_bn"]["bias"],
+                       s["linear_p_bn"]["mean"], s["linear_p_bn"]["var"], eps)
+    # fold the pe BN into Dense(3,3): relu(a*(xW+b)+b') = relu(x(W*a) + (b*a+b'))
+    a0 = p["linear_p0"]["kernel"] * a_p[None, :]
+    b0 = p["linear_p0"]["bias"] * a_p + b_p
+
+    kv = {"wk": p["linear_k"]["kernel"], "bk": p["linear_k"]["bias"],
+          "wv": p["linear_v"]["kernel"], "bv": p["linear_v"]["bias"]}
+
+    a_w0, b_w0 = fold_bn(p["linear_w_bn0"]["scale"], p["linear_w_bn0"]["bias"],
+                         s["linear_w_bn0"]["mean"], s["linear_w_bn0"]["var"],
+                         eps)
+    a_w1, b_w1 = fold_bn(p["linear_w_bn1"]["scale"], p["linear_w_bn1"]["bias"],
+                         s["linear_w_bn1"]["mean"], s["linear_w_bn1"]["var"],
+                         eps)
+    return {
+        "a0": a0, "b0": b0,
+        "a1": p["linear_p1"]["kernel"], "b1": p["linear_p1"]["bias"],
+        "bn0_scale": a_w0, "bn0_shift": b_w0,
+        "w0": p["linear_w0"]["kernel"], "c0": p["linear_w0"]["bias"],
+        "bn1_scale": a_w1, "bn1_shift": b_w1,
+        "w1": p["linear_w1"]["kernel"], "c1": p["linear_w1"]["bias"],
+        **kv,
+    }
