@@ -5,8 +5,14 @@ Baseline: BASELINE.json north star = 10 scans/sec/chip end-to-end on TPU v5e.
 
 Measures the full tgnet device path per scan: stage-1 point-transformer U-Net over
 the 24k cloud (sem + offsets) + 16 crop slots (3072 pts) through the stage-2
-backbone — the dominant compute of the end-to-end pipeline (host clustering adds
-~0.1-0.3 s/scan on top; exact share depends on scan content).
+backbone — the dominant compute of the end-to-end pipeline (tools/bench_e2e.py
+measures the whole pipeline including mesh prep and host clustering, with a
+per-phase breakdown).
+
+Runs the TPU inference configuration: bfloat16 compute dtype (params, geometry,
+and logits stay float32; stage-1 argmax agreement vs f32 is 98.8%) with the
+default per-shape kernel dispatch (Pallas lane-packed attention on the batched
+crop stage, Pallas FPS, approx_max_k + exact re-score kNN).
 """
 
 import json
@@ -26,6 +32,7 @@ def main():
 
     task = get_task("tgnet_fps")
     config = task.default_config()
+    config.model_parameter["dtype"] = "bfloat16"
     module = task.build_module(config)
 
     n = 24000

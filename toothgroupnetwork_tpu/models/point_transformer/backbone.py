@@ -34,15 +34,31 @@ from ...nn.layers import MaskedBatchNorm, masked_mean
 from ...ops import farthest_point_sample, index_points, knn_interpolate, knn_points
 
 
-def _use_fused_attention(train: bool) -> bool:
-    """TGN_TPU_ATTENTION=fused routes the eval-mode forward through the Pallas
-    vector-attention kernel (ops/pallas/attention_kernel.py; interpret mode
-    off-TPU). Default is the XLA graph: the kernel is numerically exact but its
-    [TR·K, C] layout wastes 3/4 of each 128-lane register at C=32 and measures
-    16.3 ms/layer vs ~5 ms for the XLA post-gather chain — a lane-packed
-    [TR, K·C] redesign is required before it can win. The train path always
-    uses the XLA graph (BatchNorm needs global batch statistics)."""
-    return (not train) and os.environ.get("TGN_TPU_ATTENTION", "xla") == "fused"
+def _attention_mode(train: bool, b: int, n: int, k: int, c: int) -> str:
+    """Eval-mode kernel dispatch for the attention layer (per shape).
+
+    Modes (TGN_TPU_ATTENTION env; kernels run in interpret mode off-TPU):
+      * ``xla`` — the unfused graph. Always used for training (BatchNorm needs
+        global batch statistics) and for most eval shapes: the layer is
+        GATHER-bound (~13 of ~19 ms at B1/24k/K36/C32) and XLA fuses the rest
+        to ~5 ms, beating both Pallas layouts there.
+      * ``packed`` — the lane-packed [TR, K·C] kernel with block-diagonal
+        pattern matmuls (fused_vector_attention_packed). Wins on LARGE BATCHED
+        full-res layers, where the batched XLA graph degrades: measured 32 vs
+        43 ms/layer at B16/3072/K36/C32 (the tgnet crop stage); loses 28 vs
+        19.6 at B1/24k. ``auto`` picks it exactly for that regime.
+      * ``fused`` — the naive [TR·K, C] kernel: 16.3 ms/layer (3/4 lane waste,
+        3D softmax relayouts); kept as a baseline for kernel iteration.
+    """
+    if train:
+        return "xla"
+    mode = os.environ.get("TGN_TPU_ATTENTION", "auto")
+    if mode != "auto":
+        return mode
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and b > 1 and b * n * k >= 10 ** 6 and k * c <= 1536:
+        return "packed"
+    return "xla"
 
 
 class PointTransformerLayer(nn.Module):
@@ -101,12 +117,14 @@ class PointTransformerLayer(nn.Module):
         bn_w1 = MaskedBatchNorm(dtype=self.dtype, name="linear_w_bn1")
         d_w1 = nn.Dense(cs, dtype=self.dtype, name="linear_w1")
 
-        if _use_fused_attention(train):
+        mode = _attention_mode(train, b, n, kk, mid)
+        if mode != "xla":
             # Fused Pallas path (eval only): recover each submodule's affine
             # weights by probing it with zeros/identity (creates the params with
             # the exact same names; avoids private variable access), fold the
             # eval-mode BNs, and run the whole post-gather chain in one kernel.
-            from ...ops.pallas.attention_kernel import fused_vector_attention
+            from ...ops.pallas.attention_kernel import (
+                fused_vector_attention, fused_vector_attention_packed)
 
             f32 = jnp.float32
 
@@ -129,19 +147,24 @@ class PointTransformerLayer(nn.Module):
             w_w0, c_w0 = dense_wb(d_w0, mid)
             a_w1, b_w1 = bn_ab(bn_w1, cs)
             w_w1, c_w1 = dense_wb(d_w1, cs)
-            w_k, b_k = dense_wb(d_k, cin)
-            w_v, b_v = dense_wb(d_v, cin)
             params = {
                 # BN folded into the Dense(3,3): bn(xW+b) = x(W*a) + (b*a+shift)
                 "a0": w_p0 * a_p[None, :], "b0": b_p0 * a_p + bshift_p,
                 "a1": w_p1, "b1": b_p1,
                 "bn0_scale": a_w0, "bn0_shift": b_w0, "w0": w_w0, "c0": c_w0,
                 "bn1_scale": a_w1, "bn1_shift": b_w1, "w1": w_w1, "c1": c_w1,
-                "wk": w_k, "bk": b_k, "wv": w_v, "bv": b_v,
             }
-            agg = fused_vector_attention(
-                q.reshape(b * n, mid).astype(f32), x_g,
-                p_r_flat, params, k=kk)
+            qf = q.reshape(b * n, mid).astype(f32)
+            if mode == "packed":
+                # k/v projections in XLA (contiguous-matmul IO is cheap; the
+                # random gather upstream is the expensive part)
+                agg = fused_vector_attention_packed(
+                    qf, d_k(x_g), d_v(x_g), p_r_flat, params, k=kk)
+            else:
+                w_k, b_k = dense_wb(d_k, cin)
+                w_v, b_v = dense_wb(d_v, cin)
+                params.update(wk=w_k, bk=b_k, wv=w_v, bv=b_v)
+                agg = fused_vector_attention(qf, x_g, p_r_flat, params, k=kk)
             return agg.reshape(b, n, out).astype(self.dtype)
 
         k_g = d_k(x_g)                                        # [BNK, mid]

@@ -158,6 +158,120 @@ def fused_vector_attention(q, x_g, p_r, params, *, k: int,
     return out[:bn]
 
 
+def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, a0_ref, b0_ref, a1_ref,
+                   b1_ref, bn0_ref, w0_ref, c0_ref, bn1_ref, w1_ref, c1_ref,
+                   sum_ref, bcast_ref, exp_ref, red_ref, out_ref, *, kk: int):
+    """Lane-packed tile: every per-neighbor tensor lives as a 2D ``[TR, K*X]``
+    slab (k-major, channel-minor lanes) so the VPU runs at full 128-lane width
+    and the MLPs become block-diagonal MXU matmuls (built with ``kron`` in the
+    wrapper). The naive ``[TR*K, C]`` layout wastes 3/4 of each register at
+    C=32 and its 3D softmax view forces Mosaic relayouts — measured 16.3 ms vs
+    ~5 ms XLA; this layout exists to beat both.
+
+    Shapes: q [TR, C]; k2/v2 [TR, K*C]; pr2 [TR, K*3]; block-diagonal weights
+    a0 [K3,K3], a1 [K3,KC], w0 [KC,Kcs], w1 [Kcs,Kcs]; bn0 [2, KC] (scale row
+    0 / shift row 1), bn1 [2, Kcs]; biases b0 [1,K3], b1/c0/c1 [1, K*X];
+    patterns: sum [Kcs, cs], bcast [cs, Kcs], exp [Kcs, KC], red [KC, C].
+    """
+    f32 = jnp.float32
+    q = q_ref[:].astype(f32)                              # [TR, C]
+    tr, c = q.shape
+
+    pr2 = pr2_ref[:].astype(f32)                          # [TR, K3]
+    pe0 = jnp.dot(pr2, a0_ref[:], preferred_element_type=f32) + b0_ref[:]
+    pe0 = jnp.maximum(pe0, 0.0)
+    pe2 = jnp.dot(pe0, a1_ref[:], preferred_element_type=f32) + b1_ref[:]
+
+    q2 = jnp.concatenate([q] * kk, axis=1)                # [TR, KC]
+    w = k2_ref[:].astype(f32) - q2 + pe2
+    w = jnp.maximum(w * bn0_ref[0:1, :] + bn0_ref[1:2, :], 0.0)
+    w = jnp.dot(w, w0_ref[:], preferred_element_type=f32) + c0_ref[:]
+    w = jnp.maximum(w * bn1_ref[0:1, :] + bn1_ref[1:2, :], 0.0)
+    w = jnp.dot(w, w1_ref[:], preferred_element_type=f32) + c1_ref[:]
+
+    # softmax over K per (row, cs-channel): subtracting the PER-ROW max (a
+    # constant along K) is valid and avoids any cross-lane segmented reduce
+    w = w - jnp.max(w, axis=1, keepdims=True)
+    e = jnp.exp(w)                                        # [TR, Kcs]
+    den = jnp.dot(e, sum_ref[:], preferred_element_type=f32)      # [TR, cs]
+    denf = jnp.dot(den, bcast_ref[:], preferred_element_type=f32)  # [TR, Kcs]
+    wn = e / denf
+    wf = jnp.dot(wn, exp_ref[:], preferred_element_type=f32)      # [TR, KC]
+
+    prod = (v2_ref[:].astype(f32) + pe2) * wf
+    out_ref[:] = jnp.dot(prod, red_ref[:], preferred_element_type=f32)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_rows"))
+def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
+                                  tile_rows: int | None = None):
+    """Lane-packed fused attention: q [BN, C]; k_g/v_g [BN*K, C] (the k/v
+    projections run in XLA — contiguous-matmul IO is cheap, the random GATHER
+    is the expensive part and happens once on the raw features upstream);
+    p_r [BN*K, 3]; params as :func:`fold_attention_params`. Returns [BN, C]."""
+    bn, c = q.shape
+    cs = params["w1"].shape[-1]
+    kc, kcs, k3 = k * c, k * cs, k * 3
+    if tile_rows is None:
+        # [TR, KC] f32 slabs: ~6 live + dbl-buffered inputs; KC<=1536 at the
+        # stages this kernel serves (C<=64) -> 128 rows ~ 6 MB stack
+        tile_rows = max(8, min(128, (1 << 21) // max(kc, 128)))
+        tile_rows -= tile_rows % 8
+    tr = min(tile_rows, -(-bn // 8) * 8)
+    n_tiles = -(-bn // tr)
+    pad = n_tiles * tr - bn
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        k_g = jnp.pad(k_g, ((0, pad * k), (0, 0)))
+        v_g = jnp.pad(v_g, ((0, pad * k), (0, 0)))
+        p_r = jnp.pad(p_r, ((0, pad * k), (0, 0)))
+
+    rows = n_tiles * tr
+    k2 = k_g.reshape(rows, kc)            # free: k-major, channel-minor
+    v2 = v_g.reshape(rows, kc)
+    pr2 = p_r.reshape(rows, k3)
+
+    f32 = jnp.float32
+    eye_k = jnp.eye(k, dtype=f32)
+    a0 = jnp.kron(eye_k, params["a0"].astype(f32))            # [K3, K3]
+    a1 = jnp.kron(eye_k, params["a1"].astype(f32))            # [K3, KC]
+    w0 = jnp.kron(eye_k, params["w0"].astype(f32))            # [KC, Kcs]
+    w1 = jnp.kron(eye_k, params["w1"].astype(f32))            # [Kcs, Kcs]
+    b0 = jnp.tile(params["b0"].astype(f32), k)[None, :]
+    b1 = jnp.tile(params["b1"].astype(f32), k)[None, :]
+    c0 = jnp.tile(params["c0"].astype(f32), k)[None, :]
+    c1 = jnp.tile(params["c1"].astype(f32), k)[None, :]
+    bn0 = jnp.stack([jnp.tile(params["bn0_scale"].astype(f32), k),
+                     jnp.tile(params["bn0_shift"].astype(f32), k)])
+    bn1 = jnp.stack([jnp.tile(params["bn1_scale"].astype(f32), k),
+                     jnp.tile(params["bn1_shift"].astype(f32), k)])
+    ones_k = jnp.ones((k, 1), f32)
+    sum_p = jnp.kron(ones_k, jnp.eye(cs, dtype=f32))          # [Kcs, cs]
+    bcast_p = jnp.kron(ones_k.T, jnp.eye(cs, dtype=f32))      # [cs, Kcs]
+    exp_p = jnp.kron(eye_k, jnp.tile(jnp.eye(cs, dtype=f32), (1, c // cs)))
+    red_p = jnp.kron(ones_k, jnp.eye(c, dtype=f32))           # [KC, C]
+
+    row_spec = lambda i: (i, 0)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_packed_kernel, kk=k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kc), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kc), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k3), row_spec, memory_space=pltpu.VMEM),
+            full, full, full, full, full, full, full, full, full, full,
+            full, full, full, full,
+        ],
+        out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(q, k2, v2, pr2, a0, b0, a1, b1, bn0, w0, c0, bn1, w1, c1,
+      sum_p, bcast_p, exp_p, red_p)
+    return out[:bn]
+
+
 def fold_bn(scale, bias, mean, var, eps=1e-5):
     """Eval-mode BatchNorm as an affine pair (a, b): y = a*x + b."""
     a = scale / jnp.sqrt(var + eps)

@@ -47,18 +47,41 @@ def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
     return org_feats.astype(np.float32), sampled.astype(np.float32)
 
 
+_FPS_BUCKET = 8192
+
+
+def fps_sample_idx(xyz: np.ndarray, n: int) -> np.ndarray:
+    """Device-FPS indices for a host cloud of ARBITRARY size.
+
+    Pads the point count up to a multiple of 8192 with a validity mask so that
+    every scan size in a bucket shares ONE compiled executable — unbucketed,
+    each new mesh size would trigger a fresh XLA compile (minutes through the
+    tunneled chip; the scan sizes of a production stream are all distinct).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import farthest_point_sample
+
+    n0 = xyz.shape[0]
+    n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
+    pad = np.zeros((n_pad, 3), np.float32)
+    pad[:n0] = xyz[:, :3]
+    mask = np.zeros(n_pad, bool)
+    mask[:n0] = True
+    # bucket the sample count as well (it varies per scan too): FPS is greedy-
+    # sequential, so the first n samples of an m-sample run ARE FPS(n)
+    n_bucket = min(-(-n // 512) * 512, n0)
+    idx = np.asarray(farthest_point_sample(
+        jnp.asarray(pad), n_bucket, jnp.asarray(mask)))
+    return idx[:n]
+
+
 def fps_sample(feats: np.ndarray, n: int) -> np.ndarray:
     """FPS down to n points (device op); pads by repeating points when fewer."""
     if feats.shape[0] <= n:
         reps = -(-n // feats.shape[0])
         return np.concatenate([feats] * reps, axis=0)[:n]
-    import jax.numpy as jnp
-
-    from ..ops import farthest_point_sample
-
-    idx = np.asarray(farthest_point_sample(
-        jnp.asarray(feats[:, :3], jnp.float32), n))
-    return feats[idx]
+    return feats[fps_sample_idx(feats[:, :3], n)]
 
 
 def nn_upsample(values: np.ndarray, source_xyz: np.ndarray,
@@ -68,7 +91,7 @@ def nn_upsample(values: np.ndarray, source_xyz: np.ndarray,
     from scipy.spatial import cKDTree
 
     tree = cKDTree(source_xyz)
-    _, nearest = tree.query(target_xyz, k=1)
+    _, nearest = tree.query(target_xyz, k=1, workers=-1)
     return np.asarray(values).reshape(-1)[nearest]
 
 

@@ -19,6 +19,8 @@ work is a handful of jitted static-shape calls and everything between is host nu
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from functools import partial
 
 import jax
@@ -145,26 +147,45 @@ class TgnInferencePipeline:
             lambda c, m: stage2(self.bdl_module, self.bdl_vars, c, m))
         self._crops = jax.jit(partial(make_crops, crop_size=self.crop_size))
 
+        # Per-phase wall time of the LAST __call__, seconds (SURVEY.md §5
+        # tracing/profiling — the reference pipeline has no observability;
+        # its known-slow spots are inference_pipeline_tgn.py:26,43).
+        self.timings: dict[str, float] = defaultdict(float)
+
+    def _t(self, name: str, t0: float) -> float:
+        now = time.perf_counter()
+        self.timings[name] += now - t0
+        return now
+
     # ------------------------------------------------------------------
-    def _run_stage(self, stage1_fn, stage2_fn, feats_np, crop_centroids_from):
+    def _run_stage(self, stage1_fn, stage2_fn, feats_np, crop_centroids_from,
+                   tag: str):
         """Shared stage runner: forward, host centroids, crops, crop votes."""
+        t0 = time.perf_counter()
         feats = jnp.asarray(feats_np[None])
         sem_1, offset_1 = stage1_fn(feats)
         sem_1 = np.asarray(sem_1[0])
         offset_1 = np.asarray(offset_1[0])
+        t0 = self._t(f"{tag}:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
         centroids = crop_centroids_from(sem_1, moved, xyz)
+        t0 = self._t(f"{tag}:host_centroids", t0)
         cents, valid = _pad_centroids(centroids)
         crops, crop_mask, crop_idx, _ = self._crops(feats, cents, valid)
         sem_2 = np.asarray(stage2_fn(crops, crop_mask))
+        t0 = self._t(f"{tag}:stage2_device", t0)
         whole_mask = _aggregate_crop_votes(
             sem_2, np.asarray(crop_idx[0]), np.asarray(valid[0]), len(feats_np))
+        self._t(f"{tag}:host_votes", t0)
         return sem_1, offset_1, moved, whole_mask
 
     def __call__(self, stl_path: str) -> dict:
+        self.timings = defaultdict(float)
+        t0 = time.perf_counter()
         org_feats, bdl_feats, sampled = prep_mesh_tgn(stl_path, self.n_sample)
         n_vertices = org_feats.shape[0]
+        t0 = self._t("mesh_prep", t0)
 
         # ---------------- stage 1 (fps model) ----------------
         def fps_centroids(sem_1, moved, xyz):
@@ -175,7 +196,8 @@ class TgnInferencePipeline:
                     for i in np.unique(fg_labels)]
 
         sem_1, offset_1, moved, whole_mask = self._run_stage(
-            self._fps_stage1, self._fps_stage2, sampled, fps_centroids)
+            self._fps_stage1, self._fps_stage2, sampled, fps_centroids, "fps")
+        t0 = time.perf_counter()
         cls_1 = np.argmax(sem_1, axis=1)  # half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
@@ -184,6 +206,7 @@ class TgnInferencePipeline:
             fg_ins = get_clustering_labels(moved, whole_mask)
             ins_labels[whole_mask != 0] = fg_ins
         ins_labels = (ins_labels + 1).astype(np.int64)  # 0 = bg
+        t0 = self._t("host_instancing", t0)
 
         # ---------------- boundary stage (bdl model) ----------------
         bdl_sampled, pseudo_labels, n_bd = boundary_sampled_feats(
@@ -192,13 +215,16 @@ class TgnInferencePipeline:
             num_bdl_points=self.boundary_info["num_of_bdl_points"],
             num_all_points=self.boundary_info["num_of_all_points"])
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
+        t0 = self._t("host_boundary_resample", t0)
 
         def bdl_centroids(sem_1b, moved_b, xyz_b):
             return [xyz_b[pseudo_in == i].mean(axis=0)
                     for i in np.unique(pseudo_in) if i != -1]
 
         _, offset_1b, moved_b, whole_mask_b = self._run_stage(
-            self._bdl_stage1, self._bdl_stage2, bdl_sampled, bdl_centroids)
+            self._bdl_stage1, self._bdl_stage2, bdl_sampled, bdl_centroids,
+            "bdl")
+        t0 = time.perf_counter()
 
         n_clusters = len(np.unique(pseudo_in)) - 1
         bdl_ins = np.zeros(len(bdl_sampled)) - 1
@@ -208,6 +234,7 @@ class TgnInferencePipeline:
                 [moved_b[fg_b]], "kmeans", [n_clusters])
             bdl_ins[fg_b] = labels_ls[0]
         bdl_ins = (bdl_ins + 1).astype(np.int64)
+        t0 = self._t("host_bdl_kmeans", t0)
 
         # ---------------- fusion ----------------
         first_xyz = sampled[:, :3]
@@ -220,16 +247,18 @@ class TgnInferencePipeline:
         final_points = np.concatenate([first_xyz, bdl_xyz], axis=0)
         final_ins = np.concatenate([ins_labels, mod_ps], axis=0)
         final_sem = np.concatenate([new_sem, mod_sem], axis=0)
+        t0 = self._t("host_fusion", t0)
 
         # ---------------- 1-NN transfer + FDI remap ----------------
         from scipy.spatial import cKDTree
 
         tree = cKDTree(final_points)
-        _, nn = tree.query(org_feats[:, :3], k=1)
+        _, nn = tree.query(org_feats[:, :3], k=1, workers=-1)
         result_ins = final_ins[nn.reshape(-1)]
         result_sem = final_sem[nn.reshape(-1)].copy()
         result_sem[result_sem >= 9] += 2
         result_sem[result_sem > 0] += 10
+        self._t("host_1nn_transfer", t0)
         assert result_sem.shape[0] == n_vertices
         assert result_ins.shape[0] == n_vertices
         return {"sem": result_sem.reshape(-1), "ins": result_ins.reshape(-1)}

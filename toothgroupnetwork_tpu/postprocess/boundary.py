@@ -37,12 +37,13 @@ def boundary_sampled_feats(
     rng = rng or np.random.default_rng(0)
     tree = cKDTree(sampled_feats[:, :3])
     k = min(40, sampled_feats.shape[0])
-    _, nn40 = tree.query(org_feats[:, :3], k=k)
-    ratio = first_label_ratio(point_labels[np.atleast_2d(nn40)])
+    _, nn40 = tree.query(org_feats[:, :3], k=k, workers=-1)
+    nn40 = np.atleast_2d(nn40)
+    ratio = first_label_ratio(point_labels[nn40])
     bd_mask = ratio < bdl_ratio
 
-    _, nn1 = tree.query(org_feats[:, :3], k=1)
-    ps_labels = point_labels[nn1.reshape(-1)]
+    # column 0 of the 40-NN query IS the 1-NN — no second tree pass needed
+    ps_labels = point_labels[nn40[:, 0]]
 
     bd_feats = org_feats[bd_mask]
     bd_labels = ps_labels[bd_mask]
@@ -54,12 +55,11 @@ def boundary_sampled_feats(
     non_bd_labels = ps_labels[~bd_mask]
     need = num_all_points - bd_feats.shape[0]
     if non_bd_feats.shape[0] > need:
-        import jax.numpy as jnp
+        from ..pipelines.base import fps_sample_idx
 
-        from ..ops import farthest_point_sample
-
-        idx = np.asarray(farthest_point_sample(
-            jnp.asarray(non_bd_feats[:, :3], jnp.float32), need))
+        # bucketed device FPS: the non-boundary count varies per scan, and an
+        # unbucketed call would recompile for every distinct size
+        idx = fps_sample_idx(non_bd_feats[:, :3], need)
     else:
         # not enough non-boundary points: take all + repeat uniformly
         reps = rng.integers(0, max(non_bd_feats.shape[0], 1),

@@ -90,7 +90,11 @@ def get_clustering_labels(moved_points: np.ndarray, labels: np.ndarray):
 
     for idx, cluster_id in enumerate(resplit):
         pts = fg[clustering.labels_ == uniq[cluster_id]]
-        ms = MeanShift(bandwidth=0.07).fit(pts)
+        # bin_seeding: seed from a bandwidth-binned grid instead of every point
+        # (documented deviation from ops_utils.py:130 — plain MeanShift is
+        # O(n^2 * iters) and takes minutes on a few-thousand-point merged
+        # cluster; binned seeding finds the same modes to within bin width)
+        ms = MeanShift(bandwidth=0.07, bin_seeding=True).fit(pts)
         clustering_labels[clustering_labels == uniq[cluster_id]] = \
             ms.labels_ + 100 * (idx + 1)
 
@@ -99,7 +103,7 @@ def get_clustering_labels(moved_points: np.ndarray, labels: np.ndarray):
     if noise.any() and (~noise).any():
         tree = cKDTree(fg[~noise])
         k = min(10, int((~noise).sum()))
-        _, nn = tree.query(fg[noise], k=k)
+        _, nn = tree.query(fg[noise], k=k, workers=-1)
         nn = np.atleast_2d(nn)
         if nn.ndim == 1:
             nn = nn[:, None]

@@ -181,7 +181,7 @@ class BdlDataEngine:
             else org_feat.copy()
         tree = cKDTree(feat[:, :3])
         k = min(40, feat.shape[0])
-        _, nn40 = tree.query(auged[:, :3], k=k)
+        _, nn40 = tree.query(auged[:, :3], k=k, workers=-1)
         ratio = first_label_ratio(ins[np.atleast_2d(nn40)])
         bd = ratio < bdl_ratio
 
