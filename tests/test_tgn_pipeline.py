@@ -50,6 +50,21 @@ class TestClustering:
         arr = np.array([[1, 1, 2, 1], [3, 4, 4, 4]])
         np.testing.assert_allclose(first_label_ratio(arr), [0.75, 0.25])
 
+    def test_aggl_dispatch(self, rng):
+        pts = np.concatenate([rng.normal(0, 0.01, (40, 3)),
+                              rng.normal(1, 0.01, (40, 3))])
+        cents, _, labels = clustering_points([pts], "aggl", [2])
+        assert len(cents[0]) == 2
+        assert len(np.unique(labels[0])) == 2
+
+    def test_unknown_method_falls_through_to_gmm(self, rng):
+        """ops_utils.py:35: any unrecognized method -> GaussianMixture."""
+        pts = np.concatenate([rng.normal(0, 0.01, (40, 3)),
+                              rng.normal(1, 0.01, (40, 3))])
+        cents, _, labels = clustering_points([pts], "anything_else", [2])
+        assert len(cents[0]) == 2
+        assert len(np.unique(labels[0])) == 2
+
 
 class TestBoundaryResample:
     def test_boundary_detection_and_sizes(self, rng):

@@ -118,6 +118,55 @@ class TestSchedule:
         assert lr_fn(1) == pytest.approx(1.0)
         assert lr_fn(2) == pytest.approx(1.0)  # cosine t=0
 
+    def test_tanh_contract(self):
+        """timm tanh_lr.py:85-95: lr = min + .5*(base-min)*(1-tanh(lb(1-tr)+ub*tr))."""
+        import math
+        from toothgroupnetwork_tpu.train.config import OptimizerConfig, SchedulerConfig
+        lr_fn = make_epoch_lr_fn(OptimizerConfig(lr=1e-2),
+                                 SchedulerConfig(sched="tanh", full_steps=10,
+                                                 min_lr=1e-5))
+        want5 = 1e-5 + 0.5 * (1e-2 - 1e-5) * (1 - math.tanh(-7 * 0.5 + 3 * 0.5))
+        assert lr_fn(5) == pytest.approx(want5, rel=1e-6)
+        assert lr_fn(0) == pytest.approx(
+            1e-5 + 0.5 * (1e-2 - 1e-5) * (1 - math.tanh(-7.0)), rel=1e-6)
+        assert lr_fn(10) == pytest.approx(1e-5)
+
+    def test_poly_contract(self):
+        """timm poly_lr.py:91: lr = min + (base-min)*(1-t/T)**power."""
+        from toothgroupnetwork_tpu.train.config import OptimizerConfig, SchedulerConfig
+        lr_fn = make_epoch_lr_fn(OptimizerConfig(lr=1.0),
+                                 SchedulerConfig(sched="poly", full_steps=10,
+                                                 min_lr=0.0, step_decay=2.0))
+        assert lr_fn(0) == pytest.approx(1.0)
+        assert lr_fn(5) == pytest.approx(0.25)
+        assert lr_fn(10) == pytest.approx(0.0)
+
+    def test_multistep_contract(self):
+        """timm multistep_lr.py:45-53: bisect_right(milestones, t+1) decays."""
+        from toothgroupnetwork_tpu.train.config import OptimizerConfig, SchedulerConfig
+        lr_fn = make_epoch_lr_fn(OptimizerConfig(lr=1.0),
+                                 SchedulerConfig(sched="multistep",
+                                                 milestones=(3, 6),
+                                                 step_decay=0.1))
+        assert lr_fn(0) == pytest.approx(1.0)
+        assert lr_fn(2) == pytest.approx(0.1)   # t+1=3 -> past first milestone
+        assert lr_fn(5) == pytest.approx(0.01)
+        assert lr_fn(9) == pytest.approx(0.01)
+
+    def test_plateau_decays_on_stall(self):
+        from toothgroupnetwork_tpu.train.config import OptimizerConfig, SchedulerConfig
+        lr_fn = make_epoch_lr_fn(OptimizerConfig(lr=1.0),
+                                 SchedulerConfig(sched="plateau",
+                                                 plateau_patience=2,
+                                                 plateau_factor=0.5,
+                                                 min_lr=0.0))
+        assert lr_fn(0, metric=1.0) == pytest.approx(1.0)
+        assert lr_fn(1, metric=1.0) == pytest.approx(1.0)   # bad 1
+        assert lr_fn(2, metric=1.0) == pytest.approx(1.0)   # bad 2
+        assert lr_fn(3, metric=1.0) == pytest.approx(0.5)   # bad 3 > patience
+        assert lr_fn(4, metric=0.5) == pytest.approx(0.5)   # improvement resets
+        assert lr_fn(5) == pytest.approx(0.5)               # no metric: hold
+
 
 class TestPointNet:
     def test_forward_shapes(self, rng):

@@ -180,6 +180,22 @@ class TgnInferencePipeline:
         self._t(f"{tag}:host_votes", t0)
         return sem_1, offset_1, moved, whole_mask
 
+    def run_many(self, stl_paths, workers: int = 2):
+        """Overlapped multi-scan inference: ``workers`` scans in flight so one
+        scan's host phases (mesh prep, clustering, boundary resample, fusion —
+        ~40% of a scan) run while another's device stages occupy the TPU; JAX
+        execution is thread-safe and the host phases release the GIL in
+        numpy/scipy/sklearn C code. Returns results in input order.
+
+        The reference pipeline is strictly serial per scan
+        (inference_pipeline_tgn.py:20-60); this is the TPU-serving analog of
+        its batch loop. ``self.timings`` reflects the last finished scan.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            return list(ex.map(self, stl_paths))
+
     def __call__(self, stl_path: str) -> dict:
         self.timings = defaultdict(float)
         t0 = time.perf_counter()

@@ -16,6 +16,60 @@ from scipy.spatial import cKDTree
 from .clustering import first_label_ratio
 
 
+_purity_device_jit = None
+
+
+def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
+    """[Np,3] x [M,3] -> (ratio [Np], nn1_label [Np]) on device: 40-NN label
+    purity + 1-NN label, MXU distances instead of a host KD-tree sweep.
+    Jitted ONCE at module scope — a per-call ``jax.jit(partial(...))`` wrapper
+    would recompile the 100k x 24k graph on every scan (measured 21 s/scan)."""
+    global _purity_device_jit
+    if _purity_device_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import knn_points
+
+        def fn(org_xyz, sampled_xyz, labels, k):
+            idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
+                                need_dist=False)
+            lab = jnp.take(labels, idx.reshape(-1)).reshape(idx.shape)
+            ratio = jnp.mean((lab == lab[:, :1]).astype(jnp.float32), axis=1)
+            return ratio, lab[:, 0]
+
+        _purity_device_jit = jax.jit(fn, static_argnames=("k",))
+    return _purity_device_jit(org_xyz, sampled_xyz, labels, k=k)
+
+
+def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
+                     point_labels: np.ndarray, k: int):
+    """Returns (first-label ratio [N], 1-NN label [N]). Device path on TPU
+    (bucketed query size, one compiled executable per size bucket); host
+    KD-tree elsewhere. Device col-0 is the true nearest up to approx-selection
+    recall (>0.99 at these shapes) — the purity score is insensitive to
+    neighbor order."""
+    import jax
+
+    n0 = org_xyz.shape[0]
+    if jax.default_backend() in ("tpu", "axon") and n0 > 32768:
+        import jax.numpy as jnp
+
+        bucket = 8192
+        n_pad = -(-n0 // bucket) * bucket
+        pad = np.zeros((n_pad, 3), np.float32)
+        pad[:n0] = org_xyz
+        ratio, nn1_lab = _purity_device_fn(
+            jnp.asarray(pad), jnp.asarray(sampled_xyz),
+            jnp.asarray(point_labels.astype(np.int32)), k)
+        return np.asarray(ratio)[:n0], np.asarray(nn1_lab)[:n0]
+
+    tree = cKDTree(sampled_xyz)
+    _, nn = tree.query(org_xyz, k=k, workers=-1)
+    nn = np.atleast_2d(nn)
+    return (first_label_ratio(point_labels[nn]), point_labels[nn[:, 0]])
+
+
 def boundary_sampled_feats(
     point_labels: np.ndarray,
     org_feats: np.ndarray,
@@ -35,15 +89,10 @@ def boundary_sampled_feats(
       sampled_feats: [M, 6] the stage-1 sampled cloud.
     """
     rng = rng or np.random.default_rng(0)
-    tree = cKDTree(sampled_feats[:, :3])
     k = min(40, sampled_feats.shape[0])
-    _, nn40 = tree.query(org_feats[:, :3], k=k, workers=-1)
-    nn40 = np.atleast_2d(nn40)
-    ratio = first_label_ratio(point_labels[nn40])
+    ratio, ps_labels = _boundary_purity(
+        org_feats[:, :3].astype(np.float32), sampled_feats[:, :3], point_labels, k)
     bd_mask = ratio < bdl_ratio
-
-    # column 0 of the 40-NN query IS the 1-NN — no second tree pass needed
-    ps_labels = point_labels[nn40[:, 0]]
 
     bd_feats = org_feats[bd_mask]
     bd_labels = ps_labels[bd_mask]

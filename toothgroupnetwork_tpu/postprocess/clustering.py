@@ -17,24 +17,32 @@ from __future__ import annotations
 
 import numpy as np
 from scipy.spatial import cKDTree
-from sklearn.cluster import DBSCAN, KMeans, MeanShift
+from sklearn.cluster import DBSCAN, AgglomerativeClustering, KMeans, MeanShift
 from sklearn.decomposition import PCA
+from sklearn.mixture import GaussianMixture
 
 
 def clustering_points(moved_points_list, method: str, num_of_clusters=None):
     """Returns (cluster_centroids, cluster_centroid_labels, point_labels_list) —
-    one entry per input cloud (ops_utils.py:10-48 contract)."""
+    one entry per input cloud (ops_utils.py:10-48 contract; like the reference,
+    any unrecognized method name falls through to a GaussianMixture with
+    ``num_of_clusters`` components, ops_utils.py:35)."""
     cluster_centroids, cluster_centroid_labels, point_labels_list = [], [], []
     for b, pts in enumerate(moved_points_list):
         if method == "dbscan":
             labels = DBSCAN(eps=0.03, min_samples=60).fit(pts).labels_
+        elif method == "aggl":
+            k = max(1, int(num_of_clusters[b]))
+            labels = AgglomerativeClustering(k).fit(pts).labels_
         elif method == "kmeans":
             k = max(1, int(num_of_clusters[b]))
             labels = KMeans(k, init="k-means++").fit(pts).labels_
         elif method == "mean_shift":
             labels = MeanShift(bandwidth=0.05).fit(pts).labels_
         else:
-            raise ValueError(f"unknown clustering method {method!r}")
+            k = max(1, int(num_of_clusters[b]))
+            gm = GaussianMixture(n_components=k, random_state=0).fit(pts)
+            labels = gm.predict(pts)
         point_labels_list.append(labels)
         cents, cent_labels = [], []
         for lab in np.unique(labels):

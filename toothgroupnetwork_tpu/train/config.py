@@ -25,11 +25,18 @@ class OptimizerConfig:
 
 @dataclass
 class SchedulerConfig:
-    sched: str = "cosine"         # "cosine" | "exp" | "constant"
+    sched: str = "cosine"  # cosine|exp|constant|step|tanh|poly|multistep|plateau
     full_steps: int = 40          # cosine period in EPOCHS (reference full_steps)
     min_lr: float = 1e-5
     warmup_epochs: int = 0
-    step_decay: float = 0.95      # exp only
+    step_decay: float = 0.95      # exp/step/multistep decay; poly power
+    # tanh bounds (timm TanhLRScheduler defaults, tanh_lr.py:27-28)
+    tanh_lb: float = -7.0
+    tanh_ub: float = 3.0
+    # multistep milestones (epochs); plateau patience/factor
+    milestones: tuple = (30, 60)
+    plateau_patience: int = 10
+    plateau_factor: float = 0.1
     # reference "schedueler_step": batches between scheduler steps; all configs set
     # 15e6 so stepping is effectively once per epoch — we keep per-epoch stepping.
 

@@ -25,7 +25,7 @@ if TYPE_CHECKING:  # avoid a models<->train import cycle; ModelTask is typing-on
     from ..models.registry import ModelTask
 from .config import TrainConfig
 from .loss_meter import LossMap, LossMeter
-from .schedule import make_epoch_lr_fn
+from .schedule import PlateauLR, make_epoch_lr_fn
 from .train_state import TrainState, create_train_state
 
 
@@ -187,6 +187,9 @@ class Trainer:
             train_stats = self.train_epoch()
             val_stats = self.eval_epoch()
             dt = time.perf_counter() - t0
+            if isinstance(self.lr_fn, PlateauLR):
+                # plateau decays on the val metric (scheduler_factory.py:89-101)
+                self.lr_fn(self.epoch, metric=val_stats.get("total_val"))
             stats = {**train_stats, **val_stats,
                      "lr": self.lr_fn(self.epoch), "epoch_time_s": dt}
             self.log(f"epoch {self.epoch}: " +
