@@ -149,3 +149,69 @@ class TestDistributedInit:
         cfg2 = TrainConfig.from_dict(cfg.to_dict())
         assert cfg2.distributed.enabled
         assert cfg2.distributed.coordinator_address == "10.0.0.1:1234"
+
+
+class TestShardedOps:
+    """parallel/sharded_ops.py: exact point-sharded FPS + ring neighbor gather
+    (SURVEY §2.8(3)); parity vs the dense ops on the 8-device CPU mesh."""
+
+    def test_sharded_fps_matches_dense(self, rng):
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+        from toothgroupnetwork_tpu.parallel.sharded_ops import sharded_fps
+
+        mesh = make_data_mesh(8, axis="model")
+        xyz = rng.standard_normal((256, 3)).astype(np.float32)
+        got = np.asarray(sharded_fps(jnp.array(xyz), 64, mesh))
+        want = np.asarray(farthest_point_sample(jnp.array(xyz), 64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sharded_fps_masked(self, rng):
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+        from toothgroupnetwork_tpu.parallel.sharded_ops import sharded_fps
+
+        mesh = make_data_mesh(8, axis="model")
+        xyz = rng.standard_normal((128, 3)).astype(np.float32)
+        mask = np.arange(128) < 90   # valid-first padding
+        got = np.asarray(sharded_fps(jnp.array(xyz), 32, mesh,
+                                     mask=jnp.array(mask)))
+        want = np.asarray(farthest_point_sample(jnp.array(xyz), 32,
+                                                jnp.array(mask)))
+        np.testing.assert_array_equal(got, want)
+        assert (got < 90).all()
+
+    def test_ring_gather_matches_index_points(self, rng):
+        from toothgroupnetwork_tpu.parallel.sharded_ops import ring_gather
+
+        mesh = make_data_mesh(8, axis="model")
+        x = rng.standard_normal((160, 5)).astype(np.float32)
+        idx = rng.integers(0, 160, (96, 7)).astype(np.int32)
+        got = np.asarray(ring_gather(jnp.array(x), jnp.array(idx), mesh))
+        want = np.asarray(index_points(jnp.array(x), jnp.array(idx)))
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_composed_encoder_step(self, rng):
+        """The full sharded encoder neighborhood pipeline: FPS -> ring kNN ->
+        ring gather, vs the dense ops ladder."""
+        from toothgroupnetwork_tpu.ops import (farthest_point_sample,
+                                               index_points, knn_points)
+        from toothgroupnetwork_tpu.parallel import ring_knn
+        from toothgroupnetwork_tpu.parallel.sharded_ops import (
+            ring_gather, sharded_fps)
+
+        mesh = make_data_mesh(8, axis="model")
+        xyz = rng.standard_normal((256, 3)).astype(np.float32)
+        feat = rng.standard_normal((256, 6)).astype(np.float32)
+
+        sub_idx = sharded_fps(jnp.array(xyz), 64, mesh)
+        sub = jnp.take(jnp.array(xyz), sub_idx, axis=0)
+        kidx, _ = ring_knn(sub, jnp.array(xyz), 8, mesh)
+        grouped = np.asarray(ring_gather(jnp.array(feat), kidx, mesh))
+
+        w_sub_idx = farthest_point_sample(jnp.array(xyz), 64)
+        w_sub = jnp.take(jnp.array(xyz), w_sub_idx, axis=0)
+        w_kidx, _ = knn_points(w_sub, jnp.array(xyz), 8)
+        np.testing.assert_array_equal(np.asarray(sub_idx), np.asarray(w_sub_idx))
+        np.testing.assert_array_equal(np.sort(np.asarray(kidx), -1),
+                                      np.sort(np.asarray(w_kidx), -1))
+        want = np.asarray(index_points(jnp.array(feat), kidx))
+        np.testing.assert_allclose(grouped, want, atol=0)
