@@ -148,6 +148,46 @@ class TestPointTransformerTorchParity:
         np.testing.assert_allclose(np.asarray(out["embed"]),
                                    emb_ref.numpy()[None], atol=2e-3, rtol=1e-2)
 
+    def test_bdl_arch_eval_forward_matches(self, rng):
+        """stride-(1,1) bdl arch vs the REAL torch reference — exercises the
+        stride-1 fast paths (kNN-prefix reuse, identity 1-NN upsample, skipped
+        self-interpolation), which must be numerically invisible."""
+        import jax.numpy as jnp
+
+        from ref_cbl import build_reference_model
+        from toothgroupnetwork_tpu.models.point_transformer import (
+            PointTransformerSeg)
+        from toothgroupnetwork_tpu.utils.torch_import import (
+            convert_point_transformer)
+
+        kw = dict(c=6, k=9, planes=(16, 32), stride=(1, 1), nsample=(24, 16),
+                  blocks=(2, 3), block_num=2)
+        torch.manual_seed(3)
+        ref = build_reference_model(**kw)
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm1d):
+                    m.running_mean.uniform_(-0.3, 0.3)
+                    m.running_var.uniform_(0.5, 1.5)
+        ref.eval()
+        n = 512
+        x = (rng.standard_normal((1, 6, n)) * 0.3).astype(np.float32)
+        with torch.no_grad():
+            cls_ref, off_ref, _, _ = ref([torch.tensor(x)])
+        variables = convert_point_transformer(ref.state_dict(), block_num=2,
+                                              blocks=(2, 3))
+        mkw = dict(kw)
+        mkw.pop("c")
+        model = PointTransformerSeg(c=6, **mkw)
+        out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 1))),
+                          None, False)
+        np.testing.assert_allclose(np.asarray(out["sem_1"]),
+                                   cls_ref.permute(0, 2, 1).numpy(),
+                                   atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["offset_1"]),
+                                   off_ref.permute(0, 2, 1).numpy(),
+                                   atol=2e-3, rtol=1e-2)
+
     def test_train_cbl_losses_match(self, rng):
         import jax.numpy as jnp
 
@@ -207,4 +247,67 @@ class TestPointTransformerTorchParity:
             jnp.asarray(np.transpose(x, (0, 2, 1))), None,
             method=TGNet.stage1)
         np.testing.assert_allclose(np.asarray(out["sem_1"]), want_cls,
+                                   atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+class TestDGCNNTorchParity:
+    """Eval-forward parity vs the REAL reference DGCnnModule (pure torch;
+    get_graph_feature's hard-coded cuda device is shimmed to cpu)."""
+
+    def _build_ref(self, seed=1):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_dgcnn", "/root/reference/models/modules/dgcnn.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        # cpu shim for the reference's device=torch.device('cuda')
+        # (dgcnn.py:24) — same graph-feature math, cpu index arithmetic
+        def get_graph_feature_cpu(x, k=20, idx=None, dim9=False):
+            batch_size, num_points = x.size(0), x.size(2)
+            x = x.view(batch_size, -1, num_points)
+            if idx is None:
+                idx = mod.knn(x, k=k)
+            idx_base = torch.arange(0, batch_size).view(-1, 1, 1) * num_points
+            idx = (idx + idx_base).view(-1)
+            _, num_dims, _ = x.size()
+            x = x.transpose(2, 1).contiguous()
+            feature = x.view(batch_size * num_points, -1)[idx, :]
+            feature = feature.view(batch_size, num_points, k, num_dims)
+            x = x.view(batch_size, num_points, 1, num_dims).repeat(1, 1, k, 1)
+            return torch.cat((feature - x, x), dim=3).permute(
+                0, 3, 1, 2).contiguous()
+
+        mod.get_graph_feature = get_graph_feature_cpu
+        torch.manual_seed(seed)
+        model = mod.DGCnnModule(config={})
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.running_mean.uniform_(-0.3, 0.3)
+                    m.running_var.uniform_(0.5, 1.5)
+        return model
+
+    def test_eval_forward_matches(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from toothgroupnetwork_tpu.models.dgcnn import DGCNNSeg
+        from toothgroupnetwork_tpu.utils.torch_import import convert_dgcnn
+
+        ref = self._build_ref()
+        ref.eval()
+        n = 256
+        x = (rng.standard_normal((1, 6, n)) * 0.5).astype(np.float32)
+        with torch.no_grad():
+            cls_ref = ref([torch.tensor(x)])["cls_pred"]  # dgcnn.py:131-133
+
+        variables = convert_dgcnn(ref.state_dict())
+        model = DGCNNSeg()
+        out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 1))),
+                          None, False)
+        np.testing.assert_allclose(np.asarray(out["cls_pred"]),
+                                   cls_ref.permute(0, 2, 1).numpy(),
                                    atol=2e-3, rtol=1e-2)

@@ -292,7 +292,14 @@ class TransitionUp(nn.Module):
         a = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn1")(a, mask1, train))
         b = nn.Dense(self.out_planes, dtype=self.dtype, name="linear2")(x2)
         b = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn2")(b, mask2, train))
-        up = knn_interpolate(p1, p2, b, 3, mask1, mask2)     # 3-NN inverse-distance
+        if p1 is p2:
+            # stride-1 lateral: source and target point sets are identical, so
+            # 3-NN inverse-distance interpolation degenerates to the identity
+            # (self at distance 0 gets weight 1/(0+1e-8), ~1.0 after
+            # normalization on dedup'd clouds) — skip the N x N pass
+            up = b
+        else:
+            up = knn_interpolate(p1, p2, b, 3, mask1, mask2)  # 3-NN inv-dist
         return (a + up).astype(self.dtype)
 
 
@@ -378,12 +385,25 @@ class PointTransformerSeg(nn.Module):
             p, x, mask = TransitionDown(
                 self.planes[i], self.stride[i], self.nsample[i], self.dtype,
                 name=f"enc{i + 1}_down")(p, x, mask, train)
-            knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
-                                    include_self=True, need_dist=False)
-            # relative-position gather hoisted: shared by every block in the
-            # stage (encoder + decoder) — gathers dominate TPU cost
-            p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
-                        .reshape(-1, 3).astype(self.dtype))
+            if (i > 0 and self.stride[i] == 1
+                    and self.nsample[i] <= self.nsample[i - 1]):
+                # stride-1 stage on the SAME point set with a no-larger k:
+                # exact kNN results are ascending, so the k-prefix of the
+                # previous stage's neighborhood IS this stage's kNN — saves a
+                # full N x N pass (the bdl model is stride (1,1): its stage-2
+                # k=24 query over 24k points is stage-1's k=36 sliced)
+                knn_idx = stages[i - 1]["knn_idx"][..., :self.nsample[i]]
+                p_r_flat = (stages[i - 1]["p_r_flat"]
+                            .reshape(x.shape[0], x.shape[1],
+                                     self.nsample[i - 1], 3)
+                            [:, :, :self.nsample[i], :].reshape(-1, 3))
+            else:
+                knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
+                                        include_self=True, need_dist=False)
+                # relative-position gather hoisted: shared by every block in
+                # the stage (encoder + decoder) — gathers dominate TPU cost
+                p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
+                            .reshape(-1, 3).astype(self.dtype))
             for j in range(1, self.blocks[i]):
                 x = PointTransformerBlock(
                     self.planes[i], self.share_planes, self.dtype,
@@ -423,9 +443,17 @@ class PointTransformerSeg(nn.Module):
         p0, m0 = up_stages[0]["p"], up_stages[0]["mask"]
         up1_idx = [None]
         for i in range(1, bn):
-            idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0, up_stages[i]["mask"],
-                                need_dist=False)
-            up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point per full-res point
+            if up_stages[i]["p"] is p0:
+                # all strides up to stage i are 1: the stage's points ARE the
+                # full-res points, so the 1-NN map is the identity (on
+                # dedup'd clouds the nearest point at distance 0 is itself)
+                bsz, npts = p0.shape[:2]
+                up1_idx.append(jnp.broadcast_to(
+                    jnp.arange(npts, dtype=jnp.int32)[None, :], (bsz, npts)))
+            else:
+                idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0,
+                                    up_stages[i]["mask"], need_dist=False)
+                up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point
 
         cls_logits, _ = MultiHead(self.k, self.base_fdim, self.dtype,
                                   name="cls_head")(up_stages, up1_idx, train)

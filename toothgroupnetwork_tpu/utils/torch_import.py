@@ -219,3 +219,45 @@ def convert_tgnet(state_dict: dict, block_num: int = 5,
         "batch_stats": {"first": first["batch_stats"],
                         "second": second["batch_stats"]},
     }
+
+
+def convert_dgcnn(state_dict: dict) -> dict:
+    """Reference ``DGCnnModule`` state_dict (models/modules/dgcnn.py:44-134) →
+    flax variables for :class:`~toothgroupnetwork_tpu.models.dgcnn.DGCNNSeg`.
+
+    Conv2d(k=1)/Conv1d(k=1) weights ``[out, in, 1(, 1)]`` become Dense kernels
+    ``[in, out]``; BatchNorm2d/1d map onto MaskedBatchNorm scale/bias +
+    running stats.
+    """
+    sd = state_dict
+
+    def conv(prefix):
+        w = np.asarray(sd[prefix + ".weight"])
+        while w.ndim > 2:
+            w = w[..., 0]
+        return {"kernel": w.T}
+
+    params, stats = {}, {}
+
+    def block(name, convs, bns):
+        p, s = {}, {}
+        for i, (cpre, bpre) in enumerate(zip(convs, bns)):
+            p[f"dense_{i}"] = conv(cpre)
+            bp, bs = _bn(sd, bpre)
+            p[f"bn_{i}"], s[f"bn_{i}"] = bp, bs
+        params[name], stats[name] = p, s
+
+    block("ec1", ["conv1.0", "conv2.0"], ["bn1", "bn2"])
+    block("ec2", ["conv3.0", "conv4.0"], ["bn3", "bn4"])
+    block("ec3", ["conv5.0"], ["bn5"])
+
+    params["emb"] = conv("conv6.0")
+    params["emb_bn"], stats["emb_bn"] = _bn(sd, "bn6")
+    params["head1"] = conv("conv7.0")
+    params["head1_bn"], stats["head1_bn"] = _bn(sd, "bn7")
+    params["head2"] = conv("conv8.0")
+    params["head2_bn"], stats["head2_bn"] = _bn(sd, "bn8")
+    params["cls"] = conv("cls_conv")
+    params["offset"] = conv("offset_conv")
+    params["dist"] = conv("dist_conv")
+    return {"params": params, "batch_stats": stats}
