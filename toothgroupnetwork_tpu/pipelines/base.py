@@ -87,7 +87,9 @@ def fps_sample(feats: np.ndarray, n: int) -> np.ndarray:
 def nn_upsample(values: np.ndarray, source_xyz: np.ndarray,
                 target_xyz: np.ndarray) -> np.ndarray:
     """1-NN label transfer from sampled points to all original vertices
-    (inference_pipeline_sem.py:37-39 KDTree contract)."""
+    (inference_pipeline_sem.py:37-39 KDTree contract). Host KD-tree on
+    purpose: measured 70 ms vs 143 ms for a device MXU brute-force variant at
+    [100k x 48k] — low-dimensional trees prune too well to beat."""
     from scipy.spatial import cKDTree
 
     tree = cKDTree(source_xyz)

@@ -266,6 +266,8 @@ class TgnInferencePipeline:
         t0 = self._t("host_fusion", t0)
 
         # ---------------- 1-NN transfer + FDI remap ----------------
+        # host KD-tree: measured 70 ms vs 143 ms for the device MXU variant at
+        # [100k x 48k] — 3D trees prune too well for brute-force distances
         from scipy.spatial import cKDTree
 
         tree = cKDTree(final_points)
