@@ -164,8 +164,8 @@ class TgnInferencePipeline:
         t0 = time.perf_counter()
         feats = jnp.asarray(feats_np[None])
         sem_1, offset_1 = stage1_fn(feats)
-        sem_1 = np.asarray(sem_1[0])
-        offset_1 = np.asarray(offset_1[0])
+        # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
+        sem_1, offset_1 = jax.device_get((sem_1[0], offset_1[0]))
         t0 = self._t(f"{tag}:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
@@ -173,10 +173,11 @@ class TgnInferencePipeline:
         t0 = self._t(f"{tag}:host_centroids", t0)
         cents, valid = _pad_centroids(centroids)
         crops, crop_mask, crop_idx, _ = self._crops(feats, cents, valid)
-        sem_2 = np.asarray(stage2_fn(crops, crop_mask))
+        sem_2, crop_idx_h, valid_h = jax.device_get(
+            (stage2_fn(crops, crop_mask), crop_idx[0], valid[0]))
         t0 = self._t(f"{tag}:stage2_device", t0)
         whole_mask = _aggregate_crop_votes(
-            sem_2, np.asarray(crop_idx[0]), np.asarray(valid[0]), len(feats_np))
+            sem_2, crop_idx_h, valid_h, len(feats_np))
         self._t(f"{tag}:host_votes", t0)
         return sem_1, offset_1, moved, whole_mask
 

@@ -59,10 +59,10 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         n_pad = -(-n0 // bucket) * bucket
         pad = np.zeros((n_pad, 3), np.float32)
         pad[:n0] = org_xyz
-        ratio, nn1_lab = _purity_device_fn(
+        ratio, nn1_lab = jax.device_get(_purity_device_fn(
             jnp.asarray(pad), jnp.asarray(sampled_xyz),
-            jnp.asarray(point_labels.astype(np.int32)), k)
-        return np.asarray(ratio)[:n0], np.asarray(nn1_lab)[:n0]
+            jnp.asarray(point_labels.astype(np.int32)), k))
+        return ratio[:n0], nn1_lab[:n0]
 
     tree = cKDTree(sampled_xyz)
     _, nn = tree.query(org_xyz, k=k, workers=-1)
