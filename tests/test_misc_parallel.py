@@ -215,3 +215,42 @@ class TestShardedOps:
                                       np.sort(np.asarray(w_kidx), -1))
         want = np.asarray(index_points(jnp.array(feat), kidx))
         np.testing.assert_allclose(grouped, want, atol=0)
+
+
+class TestShardedTransitionDown:
+    """parallel/sharded_backbone.py: the encoder TransitionDown running fully
+    point-sharded must match the dense flax module's eval output."""
+
+    def test_matches_dense_module(self, rng):
+        import jax
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            TransitionDown)
+        from toothgroupnetwork_tpu.ops.pallas.attention_kernel import fold_bn
+        from toothgroupnetwork_tpu.parallel.sharded_backbone import (
+            sharded_transition_down)
+
+        mesh = make_data_mesh(8, axis="model")
+        n, c, cout, k = 256, 16, 32, 8
+        p = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((1, n, c)).astype(np.float32))
+
+        td = TransitionDown(out_planes=cout, stride=4, nsample=k)
+        vs = td.init(jax.random.PRNGKey(0), p, x, None, train=True)
+        # randomize stats so the BN fold is non-trivial
+        stats = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(rng.standard_normal(a.shape) * 0.1 + 0.4,
+                                      a.dtype), vs["batch_stats"])
+        vs = {"params": vs["params"], "batch_stats": stats}
+        new_p_d, new_x_d, _ = td.apply(vs, p, x, None, False)
+
+        scale, shift = fold_bn(
+            vs["params"]["bn"]["scale"], vs["params"]["bn"]["bias"],
+            vs["batch_stats"]["bn"]["mean"], vs["batch_stats"]["bn"]["var"])
+        new_p_s, new_x_s = sharded_transition_down(
+            p[0], x[0], n // 4, k, vs["params"]["linear"]["kernel"],
+            scale, shift, mesh)
+
+        np.testing.assert_allclose(np.asarray(new_p_s), np.asarray(new_p_d[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_x_s), np.asarray(new_x_d[0]),
+                                   atol=2e-5)

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import time
 from collections import defaultdict
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -77,13 +76,15 @@ def prep_mesh_tgn(stl_path: str, n_sample: int = N_SAMPLE):
 
 def _pad_centroids(centroids: list[np.ndarray], k_max: int = K_MAX):
     """Host list of centroids → fixed [1, k_max, 3] + validity (largest-first
-    truncation when more clusters than slots)."""
+    truncation when more clusters than slots). Returns (device cents, device
+    valid, HOST valid) — the host copy feeds vote aggregation without a
+    round-trip fetch."""
     cents = np.full((1, k_max, 3), 1e3, np.float32)
     valid = np.zeros((1, k_max), bool)
     for i, c in enumerate(centroids[:k_max]):
         cents[0, i] = c
         valid[0, i] = True
-    return jnp.asarray(cents), jnp.asarray(valid)
+    return jnp.asarray(cents), jnp.asarray(valid), valid
 
 
 def _aggregate_crop_votes(sem2: np.ndarray, crop_idx: np.ndarray,
@@ -133,19 +134,22 @@ class TgnInferencePipeline:
             out = module.apply(variables, feats, None, method=TGNet.stage1)
             return out["sem_1"], out["offset_1"]
 
-        def stage2(module, variables, crops, crop_mask):
+        def stage2(module, variables, feats, cents, valid):
+            # crops built IN the same program: a separate make_crops dispatch
+            # costs an extra ~25 ms tunnel round trip per stage
+            crops, crop_mask, crop_idx, _ = make_crops(
+                feats, cents, valid, self.crop_size)
             out = module.apply(variables, crops, crop_mask, method=TGNet.stage2)
-            return out["sem_1"]  # the crop model's own 2-class head
+            return out["sem_1"], crop_idx[0]  # the crop model's 2-class head
 
         self._fps_stage1 = jax.jit(
             lambda f: stage1(self.fps_module, self.fps_vars, f))
         self._fps_stage2 = jax.jit(
-            lambda c, m: stage2(self.fps_module, self.fps_vars, c, m))
+            lambda f, c, v: stage2(self.fps_module, self.fps_vars, f, c, v))
         self._bdl_stage1 = jax.jit(
             lambda f: stage1(self.bdl_module, self.bdl_vars, f))
         self._bdl_stage2 = jax.jit(
-            lambda c, m: stage2(self.bdl_module, self.bdl_vars, c, m))
-        self._crops = jax.jit(partial(make_crops, crop_size=self.crop_size))
+            lambda f, c, v: stage2(self.bdl_module, self.bdl_vars, f, c, v))
 
         # Per-phase wall time of the LAST __call__, seconds (SURVEY.md §5
         # tracing/profiling — the reference pipeline has no observability;
@@ -171,13 +175,11 @@ class TgnInferencePipeline:
         moved = xyz + offset_1
         centroids = crop_centroids_from(sem_1, moved, xyz)
         t0 = self._t(f"{tag}:host_centroids", t0)
-        cents, valid = _pad_centroids(centroids)
-        crops, crop_mask, crop_idx, _ = self._crops(feats, cents, valid)
-        sem_2, crop_idx_h, valid_h = jax.device_get(
-            (stage2_fn(crops, crop_mask), crop_idx[0], valid[0]))
+        cents, valid, valid_h = _pad_centroids(centroids)
+        sem_2, crop_idx_h = jax.device_get(stage2_fn(feats, cents, valid))
         t0 = self._t(f"{tag}:stage2_device", t0)
         whole_mask = _aggregate_crop_votes(
-            sem_2, crop_idx_h, valid_h, len(feats_np))
+            sem_2, crop_idx_h, valid_h[0], len(feats_np))
         self._t(f"{tag}:host_votes", t0)
         return sem_1, offset_1, moved, whole_mask
 
