@@ -311,3 +311,74 @@ class TestDGCNNTorchParity:
         np.testing.assert_allclose(np.asarray(out["cls_pred"]),
                                    cls_ref.permute(0, 2, 1).numpy(),
                                    atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+class TestPointNetPPTorchParity:
+    """Eval-forward parity vs the REAL reference pointnet_pp get_model, run on
+    CPU with a deterministic FPS patch (the CUDA wrapper seeds each cloud's
+    FIRST point, sampling_cuda_kernel.cu:39; the repo's numpy fallback seeds
+    randomly, so we patch in the CUDA-seeded equivalent)."""
+
+    def _build_ref(self, seed=2):
+        import importlib
+
+        import ref_cbl
+
+        ref_cbl.install()  # pointops stub + cpu patches
+        # install() registers an empty-namespace external_libs package for the
+        # stub; point it back at the real tree so pointnet2_utils imports
+        sys.modules["external_libs"].__path__ = [
+            "/root/reference/external_libs"]
+        pn2u = importlib.import_module(
+            "external_libs.pointnet2_utils.pointnet2_utils")
+
+        def fps_cuda_contract(xyz, npoint):
+            B, N, _ = xyz.shape
+            out = torch.zeros(B, npoint, dtype=torch.long)
+            for b in range(B):
+                pts = xyz[b].numpy()
+                dist = np.full(N, 1e10, np.float32)
+                last = 0
+                for i in range(npoint):
+                    out[b, i] = last
+                    d = ((pts - pts[last]) ** 2).sum(-1)
+                    dist = np.minimum(dist, d)
+                    dist[out[b, :i + 1].numpy()] = 0.0
+                    last = int(np.argmax(dist))
+            return out
+
+        pn2u.farthest_point_sample = fps_cuda_contract
+        ref_mod = importlib.import_module("models.modules.pointnet_pp")
+        torch.manual_seed(seed)
+        model = ref_mod.get_model()
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+        return model
+
+    def test_eval_forward_matches(self, rng):
+        import jax.numpy as jnp
+
+        from toothgroupnetwork_tpu.models.pointnetpp import PointNetPPSeg
+        from toothgroupnetwork_tpu.utils.torch_import import convert_pointnetpp
+
+        ref = self._build_ref()
+        ref.eval()
+        n = 2048  # SA stage sizes are fixed (1024/512/256): need n >= 1024
+        x = (rng.standard_normal((1, 6, n)) * 0.4).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref([torch.tensor(x)])
+        cls_ref = out_ref[6].permute(0, 2, 1).numpy()
+        off_ref = out_ref[4].permute(0, 2, 1).numpy()
+
+        variables = convert_pointnetpp(ref.state_dict())
+        model = PointNetPPSeg()
+        out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 1))),
+                          None, False)
+        np.testing.assert_allclose(np.asarray(out["cls_pred"]), cls_ref,
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["offset"]), off_ref,
+                                   atol=5e-3, rtol=1e-2)

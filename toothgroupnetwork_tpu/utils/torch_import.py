@@ -261,3 +261,57 @@ def convert_dgcnn(state_dict: dict) -> dict:
     params["offset"] = conv("offset_conv")
     params["dist"] = conv("dist_conv")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_pointnetpp(state_dict: dict) -> dict:
+    """Reference pointnet_pp ``get_model`` state_dict
+    (models/modules/pointnet_pp.py:6-71) → flax variables for
+    :class:`~toothgroupnetwork_tpu.models.pointnetpp.PointNetPPSeg`.
+
+    SA-MSG branches ``sa{n}.conv_blocks.{i}.{j}`` map to ``sa{n}/scale_{i}/
+    dense_{j}``; FP stacks ``fp{n}.mlp_convs.{j}`` to ``fp{n}/dense_{j}``.
+    """
+    sd = state_dict
+    params, stats = {}, {}
+
+    def conv(prefix):
+        w = np.asarray(sd[prefix + ".weight"])
+        while w.ndim > 2:
+            w = w[..., 0]
+        out = {"kernel": w.T}
+        if prefix + ".bias" in sd:
+            out["bias"] = np.asarray(sd[prefix + ".bias"])
+        return out
+
+    n_scales = {"sa1": 2, "sa2": 2, "sa3": 2}
+    depth = {"sa1": 2, "sa2": 2, "sa3": 2}
+    for sa, ns in n_scales.items():
+        p, s = {}, {}
+        for i in range(ns):
+            sp, ss = {}, {}
+            for j in range(depth[sa]):
+                sp[f"dense_{j}"] = conv(f"{sa}.conv_blocks.{i}.{j}")
+                bp, bs = _bn(sd, f"{sa}.bn_blocks.{i}.{j}")
+                sp[f"bn_{j}"], ss[f"bn_{j}"] = bp, bs
+            p[f"scale_{i}"], s[f"scale_{i}"] = sp, ss
+        params[sa], stats[sa] = p, s
+
+    for fp, depth_fp in [("fp1", 2), ("fp2", 2), ("fp3", 2)]:
+        p, s = {}, {}
+        for j in range(depth_fp):
+            p[f"dense_{j}"] = conv(f"{fp}.mlp_convs.{j}")
+            bp, bs = _bn(sd, f"{fp}.mlp_bns.{j}")
+            p[f"bn_{j}"], s[f"bn_{j}"] = bp, bs
+        params[fp], stats[fp] = p, s
+
+    for ours, ref_conv, ref_bn in [
+            ("offset_1", "offset_conv_1", "offset_bn_1"),
+            ("dist_1", "dist_conv_1", "dist_bn_1"),
+            ("cls_1", "cls_conv_1", "cls_bn_1")]:
+        params[ours] = conv(ref_conv)
+        bn_name = ours.replace("_1", "_bn")
+        params[bn_name], stats[bn_name] = _bn(sd, ref_bn)
+    params["offset_2"] = conv("offset_conv_2")
+    params["dist_2"] = conv("dist_conv_2")
+    params["cls_2"] = conv("cls_conv_2")
+    return {"params": params, "batch_stats": stats}
