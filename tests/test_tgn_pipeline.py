@@ -169,3 +169,11 @@ class TestTgnPipelineEndToEnd:
         valid = set([0] + list(range(11, 19)) + list(range(21, 29)))
         assert set(np.unique(out["sem"])).issubset(valid)
         assert (out["ins"] >= 0).all()
+
+        # overlapped serving: run_many must return per-scan results identical
+        # to sequential calls (thread-safety of the jitted fns + host phases)
+        outs = pipe.run_many([obj_path, obj_path, obj_path], workers=2)
+        assert len(outs) == 3
+        for o in outs:
+            np.testing.assert_array_equal(o["sem"], out["sem"])
+            np.testing.assert_array_equal(o["ins"], out["ins"])

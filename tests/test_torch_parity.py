@@ -382,3 +382,69 @@ class TestPointNetPPTorchParity:
                                    atol=5e-3, rtol=1e-2)
         np.testing.assert_allclose(np.asarray(out["offset"]), off_ref,
                                    atol=5e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+class TestTsgCentroidTorchParity:
+    """Eval-forward parity vs the REAL reference tsg_centroid_module (same CPU
+    harness as pointnetpp: pointops stub + CUDA-seeded FPS patch)."""
+
+    def test_eval_forward_matches(self, rng):
+        import importlib
+
+        import jax.numpy as jnp
+        import ref_cbl
+
+        from toothgroupnetwork_tpu.models.tsegnet import TsgCentroidModule
+        from toothgroupnetwork_tpu.utils.torch_import import convert_tsg_centroid
+
+        ref_cbl.install()
+        sys.modules["external_libs"].__path__ = [
+            "/root/reference/external_libs"]
+        pn2u = importlib.import_module(
+            "external_libs.pointnet2_utils.pointnet2_utils")
+
+        def fps_cuda_contract(xyz, npoint):
+            B, N, _ = xyz.shape
+            out = torch.zeros(B, npoint, dtype=torch.long)
+            for b in range(B):
+                pts = xyz[b].numpy()
+                dist = np.full(N, 1e10, np.float32)
+                last = 0
+                for i in range(npoint):
+                    out[b, i] = last
+                    d = ((pts - pts[last]) ** 2).sum(-1)
+                    dist = np.minimum(dist, d)
+                    last = int(np.argmax(dist))
+            return out
+
+        pn2u.farthest_point_sample = fps_cuda_contract
+        ref_mod = importlib.import_module("models.modules.tsg_centroid_module")
+        torch.manual_seed(4)
+        ref = ref_mod.get_model()
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+        ref.eval()
+
+        n = 2048
+        x = (rng.standard_normal((1, 6, n)) * 0.4).astype(np.float32)
+        with torch.no_grad():
+            (l0_ref, l3_ref, _, l3xyz_ref, off_ref, dist_ref) = ref(
+                torch.tensor(x))
+
+        variables = convert_tsg_centroid(ref.state_dict())
+        model = TsgCentroidModule()
+        out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 1))),
+                          None, False)
+        np.testing.assert_allclose(np.asarray(out["offset_result"]),
+                                   off_ref.permute(0, 2, 1).numpy(),
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["dist_result"]),
+                                   dist_ref.permute(0, 2, 1).numpy(),
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["l0_points"]),
+                                   l0_ref.permute(0, 2, 1).numpy(),
+                                   atol=5e-3, rtol=1e-2)

@@ -263,15 +263,11 @@ def convert_dgcnn(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_pointnetpp(state_dict: dict) -> dict:
-    """Reference pointnet_pp ``get_model`` state_dict
-    (models/modules/pointnet_pp.py:6-71) → flax variables for
-    :class:`~toothgroupnetwork_tpu.models.pointnetpp.PointNetPPSeg`.
-
-    SA-MSG branches ``sa{n}.conv_blocks.{i}.{j}`` map to ``sa{n}/scale_{i}/
-    dense_{j}``; FP stacks ``fp{n}.mlp_convs.{j}`` to ``fp{n}/dense_{j}``.
-    """
-    sd = state_dict
+def _convert_pn2_backbone(sd: dict):
+    """Shared SA-MSG + FP conversion for the pointnet++ family backbones
+    (pointnet_pp.py and tsg_centroid_module.py use identical structure):
+    ``sa{n}.conv_blocks.{i}.{j}`` → ``sa{n}/scale_{i}/dense_{j}``,
+    ``fp{n}.mlp_convs.{j}`` → ``fp{n}/dense_{j}``."""
     params, stats = {}, {}
 
     def conv(prefix):
@@ -303,6 +299,15 @@ def convert_pointnetpp(state_dict: dict) -> dict:
             bp, bs = _bn(sd, f"{fp}.mlp_bns.{j}")
             p[f"bn_{j}"], s[f"bn_{j}"] = bp, bs
         params[fp], stats[fp] = p, s
+    return params, stats, conv
+
+
+def convert_pointnetpp(state_dict: dict) -> dict:
+    """Reference pointnet_pp ``get_model`` state_dict
+    (models/modules/pointnet_pp.py:6-71) → flax variables for
+    :class:`~toothgroupnetwork_tpu.models.pointnetpp.PointNetPPSeg`."""
+    sd = state_dict
+    params, stats, conv = _convert_pn2_backbone(sd)
 
     for ours, ref_conv, ref_bn in [
             ("offset_1", "offset_conv_1", "offset_bn_1"),
@@ -314,4 +319,25 @@ def convert_pointnetpp(state_dict: dict) -> dict:
     params["offset_2"] = conv("offset_conv_2")
     params["dist_2"] = conv("dist_conv_2")
     params["cls_2"] = conv("cls_conv_2")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_tsg_centroid(state_dict: dict) -> dict:
+    """Reference tsegnet centroid module state_dict
+    (models/modules/tsg_centroid_module.py:5-46) → flax variables for
+    :class:`~toothgroupnetwork_tpu.models.tsegnet.CentroidModule` (the
+    scale-1 pointnet++ backbone under ``backbone/`` + 515-ch offset/dist
+    heads with zero-initialized output layers)."""
+    sd = state_dict
+    bb_params, bb_stats, conv = _convert_pn2_backbone(sd)
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats}
+    for ours, ref_conv, ref_bn in [
+            ("offset_1", "offset_conv_1", "offset_bn_1"),
+            ("dist_1", "dist_conv_1", "dist_bn_1")]:
+        params[ours] = conv(ref_conv)
+        bn_name = ours.replace("_1", "_bn")
+        params[bn_name], stats[bn_name] = _bn(sd, ref_bn)
+    params["offset_2"] = conv("offset_conv_2")
+    params["dist_2"] = conv("dist_conv_2")
     return {"params": params, "batch_stats": stats}
