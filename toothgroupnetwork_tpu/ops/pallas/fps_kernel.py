@@ -26,6 +26,14 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
+def _interpret() -> bool:
+    """Interpreter mode off-TPU (Mosaic only compiles for TPU targets) —
+    keeps TGN_TPU_KERNELS=pallas functional in the CPU test environment."""
+    import jax
+
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -130,6 +138,7 @@ def fps_pallas_multicloud(xyz: jnp.ndarray, n_samples: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, np_), jnp.float32)],
+        interpret=_interpret(),
     )(xyz_t, valid)
     return out[:, :n_samples]
 
@@ -173,6 +182,7 @@ def fps_pallas_batched(xyz: jnp.ndarray, n_samples: int,
         out_specs=pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((1, np_), jnp.float32)],
+        interpret=_interpret(),
     )(xyz_t, valid)
     return out[:, 0, :n_samples]
 
@@ -202,5 +212,6 @@ def fps_pallas(xyz: jnp.ndarray, n_samples: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((1, np_), jnp.float32)],
+        interpret=_interpret(),
     )(xyz_t, valid)
     return out[0, :n_samples]
