@@ -23,7 +23,6 @@ from .checkpoints import restore_train_checkpoint, save_train_checkpoint
 
 if TYPE_CHECKING:  # avoid a models<->train import cycle; ModelTask is typing-only here
     from ..models.registry import ModelTask
-from .config import TrainConfig
 from .loss_meter import LossMap, LossMeter
 from .schedule import PlateauLR, make_epoch_lr_fn
 from .train_state import TrainState, create_train_state
