@@ -81,7 +81,7 @@ def main():
     real_stage1 = pipe._fps_stage1
 
     def plausible_stage1(feats):
-        sem_d, off_d = jax.block_until_ready(real_stage1(feats))  # real device work
+        cls_d, off_d = jax.block_until_ready(real_stage1(feats))  # real device work
         xyz = np.asarray(feats[0, :, :3])
         t = np.linspace(-0.75, 0.75, 14)
         centers = np.stack([t, 0.35 * t ** 2 - 0.3,
@@ -89,16 +89,12 @@ def main():
         d = np.linalg.norm(xyz[:, None] - centers[None], axis=-1)
         nearest = d.argmin(1)
         is_tooth = d.min(1) < 0.12
-        sem = np.full((len(xyz), sem_d.shape[-1]), -4.0, np.float32)
-        sem[:, 0] = 4.0
-        cls = nearest % 8 + 1
-        sem[is_tooth, 0] = -4.0
-        sem[is_tooth, cls[is_tooth]] = 4.0
+        cls = np.where(is_tooth, nearest % 8 + 1, 0).astype(np.int32)
         off = np.where(is_tooth[:, None],
                        (centers[nearest] - xyz) * 0.9, 0.0)
         rngl = np.random.default_rng(0)
         off = off + rngl.normal(0, 0.004, off.shape)
-        return (jax.numpy.asarray(sem[None]),
+        return (jax.numpy.asarray(cls[None]),
                 jax.numpy.asarray(off[None].astype(np.float32)))
 
     pipe._fps_stage1 = plausible_stage1

@@ -132,7 +132,10 @@ class TgnInferencePipeline:
 
         def stage1(module, variables, feats):
             out = module.apply(variables, feats, None, method=TGNet.stage1)
-            return out["sem_1"], out["offset_1"]
+            # every host consumer takes argmax of the semantics (clustering,
+            # crop centroids, final labels) — fetching class ids moves 96 KB
+            # through the tunnel instead of the 960 KB logit tensor
+            return jnp.argmax(out["sem_1"], -1).astype(jnp.int32), out["offset_1"]
 
         def stage2(module, variables, feats, cents, valid):
             # crops built IN the same program: a separate make_crops dispatch
@@ -167,13 +170,13 @@ class TgnInferencePipeline:
         """Shared stage runner: forward, host centroids, crops, crop votes."""
         t0 = time.perf_counter()
         feats = jnp.asarray(feats_np[None])
-        sem_1, offset_1 = stage1_fn(feats)
+        cls_1, offset_1 = stage1_fn(feats)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
-        sem_1, offset_1 = jax.device_get((sem_1[0], offset_1[0]))
+        cls_1, offset_1 = jax.device_get((cls_1[0], offset_1[0]))
         t0 = self._t(f"{tag}:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
-        centroids = crop_centroids_from(sem_1, moved, xyz)
+        centroids = crop_centroids_from(cls_1, moved, xyz)
         t0 = self._t(f"{tag}:host_centroids", t0)
         cents, valid, valid_h = _pad_centroids(centroids)
         sem_2, crop_idx_h = jax.device_get(stage2_fn(feats, cents, valid))
@@ -181,7 +184,7 @@ class TgnInferencePipeline:
         whole_mask = _aggregate_crop_votes(
             sem_2, crop_idx_h, valid_h[0], len(feats_np))
         self._t(f"{tag}:host_votes", t0)
-        return sem_1, offset_1, moved, whole_mask
+        return cls_1, offset_1, moved, whole_mask
 
     def run_many(self, stl_paths, workers: int = 2):
         """Overlapped multi-scan inference: ``workers`` scans in flight so one
@@ -207,17 +210,15 @@ class TgnInferencePipeline:
         t0 = self._t("mesh_prep", t0)
 
         # ---------------- stage 1 (fps model) ----------------
-        def fps_centroids(sem_1, moved, xyz):
-            cls1 = np.argmax(sem_1, axis=1)
+        def fps_centroids(cls1, moved, xyz):
             fg_labels = get_clustering_labels(moved, cls1)
             fg_moved = moved[cls1 != 0]
             return [fg_moved[fg_labels == i].mean(axis=0)
                     for i in np.unique(fg_labels)]
 
-        sem_1, offset_1, moved, whole_mask = self._run_stage(
+        cls_1, offset_1, moved, whole_mask = self._run_stage(
             self._fps_stage1, self._fps_stage2, sampled, fps_centroids, "fps")
-        t0 = time.perf_counter()
-        cls_1 = np.argmax(sem_1, axis=1)  # half-arch 0..9
+        t0 = time.perf_counter()  # cls_1: half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
         ins_labels = np.full(len(sampled), -1.0)
@@ -236,7 +237,7 @@ class TgnInferencePipeline:
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
         t0 = self._t("host_boundary_resample", t0)
 
-        def bdl_centroids(sem_1b, moved_b, xyz_b):
+        def bdl_centroids(cls_1b, moved_b, xyz_b):
             return [xyz_b[pseudo_in == i].mean(axis=0)
                     for i in np.unique(pseudo_in) if i != -1]
 
