@@ -84,6 +84,85 @@ def write_synthetic_obj(path, n_side=30, seed=0, scale=40.0):
     return verts, faces
 
 
+def make_synthetic_arch_mesh(seed=0, ns=160, nu=40, n_teeth=14, scale=40.0):
+    """Jaw-arch SHEET MESH with gaussian tooth bumps + per-vertex class labels.
+
+    A parametric grid over (s: along-arch in [-1,1], u: across-arch): the sheet
+    follows the arch centerline (s, 0.9 s^2) in the horizontal plane; teeth are
+    z-bumps at ``n_teeth`` stations along the arch. Labels: 0 gingiva; right
+    side (x>0) positions p=1..7 -> class p; left side p=1 -> class 9 (left
+    central incisor), p>=2 -> class 8+p — matching the arch-disambiguation
+    contract (postprocess/fusion.py; reference inference_pipeline_tgn.py:68-126).
+
+    Returns (verts [V,3] float32 in mm, faces [F,3] int64, cls [V] int64 0..16).
+    """
+    rng = np.random.default_rng(seed)
+    per_side = n_teeth // 2
+    # tooth stations in s, mirrored; jitter per scan
+    s_right = 0.10 + 0.125 * np.arange(per_side)
+    s_pos = np.concatenate([s_right, -s_right])
+    s_pos = s_pos + rng.normal(0, 0.008, s_pos.shape)
+    classes = np.concatenate([np.arange(1, per_side + 1),               # right
+                              np.array([9] + [8 + p for p in
+                                              range(2, per_side + 1)])])  # left
+    u_c = 0.0
+    r_bump, r_label, h = 0.050, 0.058, 0.14
+
+    ss = np.linspace(-1, 1, ns)
+    us = np.linspace(-0.14, 0.14, nu)
+    S, U = np.meshgrid(ss, us, indexing="ij")            # [ns, nu]
+    # centerline + in-plane normal
+    a = 0.9
+    cx, cy = S, a * S ** 2
+    tnorm = np.sqrt(1 + (2 * a * S) ** 2)
+    nx, ny = -2 * a * S / tnorm, 1.0 / tnorm
+    X = cx + U * nx
+    Y = cy + U * ny
+    Z = np.zeros_like(X)
+    D2 = np.full_like(X, np.inf)
+    NEAREST = np.zeros(X.shape, np.int64)
+    for k in range(n_teeth):
+        d2 = (S - s_pos[k]) ** 2 + (U - u_c) ** 2
+        Z += h * np.exp(-d2 / r_bump ** 2)
+        closer = d2 < D2
+        D2 = np.where(closer, d2, D2)
+        NEAREST = np.where(closer, classes[k], NEAREST)
+    Z += rng.normal(0, 0.002, Z.shape)
+    cls = np.where(D2 < r_label ** 2, NEAREST, 0).reshape(-1)
+
+    verts = np.stack([X, Y, 0.35 * Z], -1).reshape(-1, 3) * scale
+    faces = []
+    for i in range(ns - 1):
+        for j in range(nu - 1):
+            v0 = i * nu + j
+            faces.append((v0, v0 + 1, v0 + nu))
+            faces.append((v0 + 1, v0 + nu + 1, v0 + nu))
+    return (verts.astype(np.float32), np.array(faces, np.int64), cls)
+
+
+def class_to_fdi(cls: np.ndarray) -> np.ndarray:
+    """Class 0..16 -> FDI-without-jaw-offset (pipelines/base.py contract)."""
+    fdi = np.asarray(cls).copy()
+    fdi[fdi >= 9] += 2
+    fdi[fdi > 0] += 10
+    return fdi
+
+
+def write_arch_case(tmpdir, case="ARCH01", seed=0, ns=160, nu=40):
+    """Write a synthetic arch-mesh .obj + its per-vertex GT classes.
+
+    Returns (obj_path, cls [V] 0..16)."""
+    os.makedirs(tmpdir, exist_ok=True)
+    verts, faces, cls = make_synthetic_arch_mesh(seed=seed, ns=ns, nu=nu)
+    obj_path = os.path.join(tmpdir, f"{case}_upper.obj")
+    with open(obj_path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")
+    return obj_path, cls
+
+
 def write_synthetic_case(tmpdir, case="CASE01", jaw="lower", n_side=30, seed=0):
     """Write an .obj + challenge-format labels .json for one synthetic case.
 

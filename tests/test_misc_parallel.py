@@ -254,3 +254,142 @@ class TestShardedTransitionDown:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(new_x_s), np.asarray(new_x_d[0]),
                                    atol=2e-5)
+
+
+class TestShardedEncoderStage:
+    """parallel/sharded_backbone.py: a COMPLETE point-sharded encoder stage
+    (TransitionDown + shared ring kNN + attention blocks) and the decoder
+    TransitionUp must match the dense flax modules' eval outputs — the round-2
+    verdict item 6 growth path ('scans bigger than one chip')."""
+
+    def _fold_down(self, vs):
+        from toothgroupnetwork_tpu.ops.pallas.attention_kernel import fold_bn
+
+        scale, shift = fold_bn(
+            vs["params"]["bn"]["scale"], vs["params"]["bn"]["bias"],
+            vs["batch_stats"]["bn"]["mean"], vs["batch_stats"]["bn"]["var"])
+        return {"w": vs["params"]["linear"]["kernel"],
+                "scale": scale, "shift": shift}
+
+    def _randomize_stats(self, rng, vs):
+        stats = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(rng.standard_normal(a.shape) * 0.1 + 0.4,
+                                      a.dtype), vs["batch_stats"])
+        return {"params": vs["params"], "batch_stats": stats}
+
+    def test_block_matches_dense(self, rng):
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            PointTransformerBlock)
+        from toothgroupnetwork_tpu.ops import knn_points
+        from toothgroupnetwork_tpu.parallel.sharded_backbone import (
+            extract_block_params, sharded_point_transformer_block)
+
+        mesh = make_data_mesh(8, axis="model")
+        n, c, k = 256, 16, 8
+        p = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((1, n, c)).astype(np.float32))
+        kidx, _ = knn_points(p, p, k, include_self=True)
+
+        blk = PointTransformerBlock(planes=c, name="blk")
+
+        class Wrap(__import__("flax").linen.Module):
+            @__import__("flax").linen.compact
+            def __call__(self, p, x, kidx, mask=None, train=True):
+                return PointTransformerBlock(planes=c, name="blk")(
+                    p, x, kidx, mask, train)
+
+        m = Wrap()
+        vs = m.init(jax.random.PRNGKey(0), p, x, kidx, None, train=True)
+        vs = self._randomize_stats(rng, vs)
+        want = m.apply(vs, p, x, kidx, None, False)
+
+        params = extract_block_params(vs, "blk")
+        got = sharded_point_transformer_block(p[0], x[0], kidx[0], params,
+                                              mesh, "model")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want[0]),
+                                   atol=5e-5)
+
+    def test_transition_up_matches_dense(self, rng):
+        import flax.linen as fnn
+
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            TransitionUp)
+        from toothgroupnetwork_tpu.ops.pallas.attention_kernel import fold_bn
+        from toothgroupnetwork_tpu.parallel.sharded_backbone import (
+            sharded_transition_up)
+
+        mesh = make_data_mesh(8, axis="model")
+        n1, n2, c1, c2, cout = 256, 64, 16, 32, 16
+        p1 = jnp.asarray(rng.standard_normal((1, n1, 3)).astype(np.float32))
+        x1 = jnp.asarray(rng.standard_normal((1, n1, c1)).astype(np.float32))
+        p2 = jnp.asarray(rng.standard_normal((1, n2, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.standard_normal((1, n2, c2)).astype(np.float32))
+
+        tu = TransitionUp(in_planes=c1, out_planes=cout)
+        vs = tu.init(jax.random.PRNGKey(0), p1, x1, None, p2, x2, None,
+                     train=True)
+        vs = self._randomize_stats(rng, vs)
+        want = tu.apply(vs, p1, x1, None, p2, x2, None, train=False)
+
+        def fold(name):
+            return fold_bn(
+                vs["params"][name]["scale"], vs["params"][name]["bias"],
+                vs["batch_stats"][name]["mean"], vs["batch_stats"][name]["var"])
+
+        params = {
+            "w1": vs["params"]["linear1"]["kernel"],
+            "b1": vs["params"]["linear1"]["bias"], "bn1": fold("bn1"),
+            "w2": vs["params"]["linear2"]["kernel"],
+            "b2": vs["params"]["linear2"]["bias"], "bn2": fold("bn2"),
+        }
+        got = sharded_transition_up(p1[0], x1[0], p2[0], x2[0], params, mesh,
+                                    "model")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want[0]),
+                                   atol=5e-5)
+
+    def test_full_stage_matches_dense(self, rng):
+        """TransitionDown + 2 attention blocks sharing one kNN — the exact
+        encoder-stage composition of backbone.py:383-413."""
+        import flax.linen as fnn
+
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            PointTransformerBlock, TransitionDown)
+        from toothgroupnetwork_tpu.ops import knn_points
+        from toothgroupnetwork_tpu.parallel.sharded_backbone import (
+            extract_block_params, sharded_encoder_stage)
+
+        mesh = make_data_mesh(8, axis="model")
+        n, c, cout, k_down, k_attn = 256, 6, 16, 8, 8
+        p = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((1, n, c)).astype(np.float32))
+
+        class DenseStage(fnn.Module):
+            @fnn.compact
+            def __call__(self, p, x, train=True):
+                np_, nx, _ = TransitionDown(out_planes=cout, stride=4,
+                                            nsample=k_down, name="down")(
+                    p, x, None, train)
+                kidx, _ = knn_points(np_, np_, k_attn, include_self=True,
+                                     need_dist=False)
+                for j in (1, 2):
+                    nx = PointTransformerBlock(planes=cout,
+                                               name=f"block{j}")(
+                        np_, nx, kidx, None, train)
+                return np_, nx
+
+        m = DenseStage()
+        vs = m.init(jax.random.PRNGKey(0), p, x, train=True)
+        vs = self._randomize_stats(rng, vs)
+        want_p, want_x = m.apply(vs, p, x, train=False)
+
+        down_params = self._fold_down(
+            {"params": vs["params"]["down"],
+             "batch_stats": vs["batch_stats"]["down"]})
+        block_params = [extract_block_params(vs, f"block{j}") for j in (1, 2)]
+        got_p, got_x = sharded_encoder_stage(
+            p[0], x[0], n // 4, k_down, k_attn, down_params, block_params,
+            mesh, "model")
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x[0]),
+                                   atol=1e-4)

@@ -109,6 +109,54 @@ class TestFPS:
         assert len(set(got.tolist())) == 50
 
 
+class TestChunkedFPS:
+    """Two-level approximate sampler (pipelines/base.py:fps_sample_idx_chunked)
+    used for mesh-prep/resample FPS on large clouds."""
+
+    def test_valid_unique_and_deterministic(self, rng):
+        from toothgroupnetwork_tpu.pipelines.base import fps_sample_idx_chunked
+
+        xyz = rng.standard_normal((40000, 3)).astype(np.float32)
+        idx = fps_sample_idx_chunked(xyz, 2048)
+        assert idx.shape == (2048,)
+        assert (idx >= 0).all() and (idx < 40000).all()
+        # disjoint slabs + within-slab FPS uniqueness => globally unique
+        assert len(set(idx.tolist())) == 2048
+        idx2 = fps_sample_idx_chunked(xyz, 2048)
+        np.testing.assert_array_equal(idx, idx2)
+
+    def test_coverage_close_to_exact_fps(self, rng):
+        """Coverage metric: the max distance from any cloud point to its
+        nearest sample (the quantity FPS greedily minimizes). On a scan-like
+        SURFACE cloud (the production input: mesh vertices) the chunked
+        sampler stays within 1.5x of exact FPS; even on a worst-case 3D
+        volume cloud it stays within 2.5x."""
+        from scipy.spatial import cKDTree
+
+        from toothgroupnetwork_tpu.pipelines.base import fps_sample_idx_chunked
+
+        def cover_radius(xyz, sample_idx):
+            d, _ = cKDTree(xyz[sample_idx]).query(xyz, k=1, workers=-1)
+            return d.max()
+
+        n = 512
+        # paraboloid sheet ~ jaw-like surface
+        u = rng.uniform(-1, 1, 20000)
+        v = rng.uniform(-1, 1, 20000)
+        surf = np.stack([u, 0.3 * u ** 2 + 0.2 * v ** 2, v], 1).astype(np.float32)
+        surf += rng.normal(0, 0.005, surf.shape).astype(np.float32)
+        r_a = cover_radius(surf, fps_sample_idx_chunked(surf, n))
+        r_e = cover_radius(
+            surf, np.asarray(farthest_point_sample(jnp.array(surf), n)))
+        assert r_a < 1.5 * r_e, (r_a, r_e)
+
+        vol = rng.standard_normal((20000, 3)).astype(np.float32)
+        r_a = cover_radius(vol, fps_sample_idx_chunked(vol, n))
+        r_e = cover_radius(
+            vol, np.asarray(farthest_point_sample(jnp.array(vol), n)))
+        assert r_a < 2.5 * r_e, (r_a, r_e)
+
+
 class TestKNN:
     def test_exact(self, rng):
         q = rng.standard_normal((33, 3)).astype(np.float32)
@@ -336,3 +384,64 @@ class TestPallasKNN:
         idx, dist = knn_points(jnp.array(q), jnp.array(pts), 16, impl="pallas")
         assert idx.shape == (6, 16)
         assert (np.diff(np.asarray(dist), axis=-1) >= -1e-6).all()
+
+
+class TestCellCandidates:
+    """ops/cells.py: super-row candidate machinery for the gather redesign."""
+
+    def _sorted_cloud(self, rng, n=4096):
+        from toothgroupnetwork_tpu.ops.cells import spatial_sort_perm
+
+        u1 = rng.uniform(-1, 1, n)
+        u2 = rng.uniform(-1, 1, n)
+        xyz = np.stack([u1, 0.3 * u1 ** 2 + 0.2 * u2 ** 2, u2], 1)
+        xyz = (xyz + rng.normal(0, 0.01, xyz.shape)).astype(np.float32)
+        return xyz[spatial_sort_perm(xyz, slab=512)]
+
+    def test_positions_reconstruct_indices(self, rng):
+        from toothgroupnetwork_tpu.ops.cells import build_cell_candidates
+
+        xs = self._sorted_cloud(rng)
+        idx, _ = knn_points(jnp.asarray(xs), jnp.asarray(xs), 16,
+                            include_self=True, need_dist=False)
+        idx = np.asarray(idx)
+        L = 24
+        cand, pos, ncells = map(np.asarray,
+                                build_cell_candidates(jnp.asarray(idx), L))
+        assert (pos < L * 8).all(), "no overflow expected at L=24, k=16"
+        g_of = np.arange(len(xs)) // 8
+        rec = cand[g_of[:, None], pos // 8] * 8 + pos % 8
+        np.testing.assert_array_equal(rec, idx)
+        # candidate rows ascending (required by the position lookup)
+        assert (np.diff(cand, axis=1) >= 0).all()
+
+    def test_overflow_goes_to_dump(self, rng):
+        from toothgroupnetwork_tpu.ops.cells import build_cell_candidates
+
+        # random (unsorted) cloud with tiny L forces overflow
+        idx = rng.integers(0, 4096, (4096, 16)).astype(np.int32)
+        L = 4
+        cand, pos, ncells = map(np.asarray,
+                                build_cell_candidates(jnp.asarray(idx), L))
+        assert (pos == L * 8).any()
+        valid = pos < L * 8
+        g_of = np.arange(4096) // 8
+        rec = cand[g_of[:, None], np.minimum(pos // 8, L - 1)] * 8 + pos % 8
+        np.testing.assert_array_equal(rec[valid], idx[valid])
+
+    def test_gather_candidate_blocks(self, rng):
+        from toothgroupnetwork_tpu.ops.cells import (
+            build_cell_candidates, gather_candidate_blocks)
+
+        xs = self._sorted_cloud(rng)
+        idx, _ = knn_points(jnp.asarray(xs), jnp.asarray(xs), 16,
+                            include_self=True, need_dist=False)
+        cand, pos, _ = build_cell_candidates(jnp.asarray(np.asarray(idx)), 24)
+        x = rng.standard_normal((len(xs), 8)).astype(np.float32)
+        blk = np.asarray(gather_candidate_blocks(jnp.asarray(x), cand))
+        cand = np.asarray(cand)
+        assert blk.shape == (len(xs) // 8, 24 * 8, 8)
+        for gg, ll in [(0, 0), (7, 3), (100, 20)]:
+            np.testing.assert_allclose(
+                blk[gg, ll * 8:(ll + 1) * 8],
+                x[cand[gg, ll] * 8:(cand[gg, ll] + 1) * 8])

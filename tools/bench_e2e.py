@@ -6,6 +6,10 @@ host clustering, boundary resampling, both bdl stages, KMeans, fusion, and the
 1-NN transfer — i.e. including the exact spots the reference flags as slow
 (reference: inference_pipelines/inference_pipeline_tgn.py:26,43).
 
+Importable harness: ``bench.py`` at the repo root reuses ``setup_pipeline`` /
+``measure`` so the driver-run benchmark reports THIS end-to-end number as its
+headline metric (the device path alone flattered ``vs_baseline``).
+
 Usage: python tools/bench_e2e.py [--runs N] [--dtype float32|bfloat16]
 Prints a per-phase ms table + one scans/sec number (and a JSON line).
 """
@@ -23,34 +27,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--overlap", type=int, default=6,
-                    help="also measure run_many throughput over this many scans")
-    ap.add_argument("--n-side", type=int, default=317,
-                    help="sqrt of synthetic vertex count (317^2 ~ 100k)")
-    args = ap.parse_args()
+def setup_pipeline(dtype: str = "bfloat16", n_side: int = 317, seed: int = 1):
+    """Build a TgnInferencePipeline with random-init weights + a synthetic
+    ~n_side^2-vertex scan. Returns (pipe, obj_path).
 
+    Random-init weights emit near-uniform semantics, which turns the host
+    instancing into a pathological case (DBSCAN over a garbage foreground,
+    MeanShift resplit of huge merged blobs: measured 116 s/scan). Production
+    inputs are ~14 tight tooth blobs. To measure every phase under its
+    production-like input distribution WITHOUT trained weights, stage1 is
+    wrapped: the real device forward still runs (and is timed), but its
+    outputs are replaced by geometry-derived plausible predictions (teeth =
+    14 arch spots, offsets pointing at their centers)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from synthetic import write_synthetic_obj
 
     from toothgroupnetwork_tpu.models import get_task
+    from toothgroupnetwork_tpu.models.tgnet import TGNet
     from toothgroupnetwork_tpu.pipelines.tgn import TgnInferencePipeline
     from toothgroupnetwork_tpu.train.checkpoints import save_weights
-    from toothgroupnetwork_tpu.models.tgnet import TGNet
 
-    print(f"backend={jax.default_backend()}", flush=True)
     tmp = tempfile.mkdtemp(prefix="tgn_bench_")
     obj_path = os.path.join(tmp, "scan_lower.obj")
-    write_synthetic_obj(obj_path, n_side=args.n_side, seed=1)
+    write_synthetic_obj(obj_path, n_side=n_side, seed=seed)
 
     task = get_task("tgnet_fps")
     cfg = task.default_config()
-    cfg.model_parameter["dtype"] = args.dtype
-    import jax.numpy as jnp
+    cfg.model_parameter["dtype"] = dtype
 
     key = jax.random.PRNGKey(0)
     feat = jnp.zeros((1, 24000, 6), jnp.float32)
@@ -70,14 +75,6 @@ def main():
 
     pipe = TgnInferencePipeline(fps_ckpt, bdl_ckpt, cfg)
 
-    # Random-init weights emit near-uniform semantics, which turns the host
-    # instancing into a pathological case (DBSCAN over a garbage foreground,
-    # MeanShift resplit of huge merged blobs: measured 116 s/scan). Production
-    # inputs are ~14 tight tooth blobs. To measure every phase under its
-    # production-like input distribution WITHOUT trained weights, wrap stage1:
-    # the real device forward still runs (and is timed), but its outputs are
-    # replaced by geometry-derived plausible predictions (teeth = 14 arch
-    # spots, offsets pointing at their centers).
     real_stage1 = pipe._fps_stage1
 
     def plausible_stage1(feats):
@@ -98,42 +95,72 @@ def main():
                 jax.numpy.asarray(off[None].astype(np.float32)))
 
     pipe._fps_stage1 = plausible_stage1
+    return pipe, obj_path
 
-    # warmup (compiles)
+
+def measure(pipe, obj_path, runs: int = 3, overlap: int = 6,
+            verbose: bool = True) -> dict:
+    """Warm up (compiles), measure serial runs + run_many throughput.
+    Returns {"scans_per_sec", "serial_s", "overlap_s_per_scan", "phases_ms"}."""
     t0 = time.perf_counter()
     out = pipe(obj_path)
-    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s; "
-          f"n_vertices={len(out['sem'])}", flush=True)
+    if verbose:
+        print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s; "
+              f"n_vertices={len(out['sem'])}", flush=True)
 
     acc: dict[str, float] = {}
     times = []
-    for _ in range(args.runs):
+    for _ in range(runs):
         t0 = time.perf_counter()
         pipe(obj_path)
         times.append(time.perf_counter() - t0)
         for k, v in pipe.timings.items():
             acc[k] = acc.get(k, 0.0) + v
-
     total = sum(times) / len(times)
+    serial = total
 
-    if args.overlap > 1:
+    dt_many = None
+    if overlap > 1:
         t0 = time.perf_counter()
-        pipe.run_many([obj_path] * args.overlap, workers=2)
-        dt_many = (time.perf_counter() - t0) / args.overlap
-        print(f"overlapped run_many x{args.overlap}: {dt_many * 1e3:.0f} "
-              f"ms/scan = {1 / dt_many:.2f} scans/s", flush=True)
+        pipe.run_many([obj_path] * overlap)
+        dt_many = (time.perf_counter() - t0) / overlap
+        if verbose:
+            print(f"overlapped run_many x{overlap}: {dt_many * 1e3:.0f} "
+                  f"ms/scan = {1 / dt_many:.2f} scans/s", flush=True)
         total = min(total, dt_many)
-    print(f"\nper-phase breakdown (mean of {args.runs} runs, ms):")
-    ordered = sorted(acc.items(), key=lambda kv: -kv[1])
-    for k, v in ordered:
-        print(f"  {k:<28s} {v / args.runs * 1e3:9.1f}")
-    print(f"  {'TOTAL':<28s} {total * 1e3:9.1f}")
+
+    phases = {k: round(v / runs * 1e3, 1)
+              for k, v in sorted(acc.items(), key=lambda kv: -kv[1])}
+    if verbose:
+        print(f"\nper-phase breakdown (mean of {runs} runs, ms):")
+        for k, v in phases.items():
+            print(f"  {k:<28s} {v:9.1f}")
+        print(f"  {'TOTAL':<28s} {total * 1e3:9.1f}")
+    return {"scans_per_sec": 1.0 / total, "serial_s": serial,
+            "overlap_s_per_scan": dt_many, "phases_ms": phases}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--overlap", type=int, default=6,
+                    help="also measure run_many throughput over this many scans")
+    ap.add_argument("--n-side", type=int, default=317,
+                    help="sqrt of synthetic vertex count (317^2 ~ 100k)")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    pipe, obj_path = setup_pipeline(args.dtype, args.n_side)
+    res = measure(pipe, obj_path, args.runs, args.overlap)
     print(json.dumps({
         "metric": "tgn_e2e_scans_per_sec_100k_vertices",
-        "value": round(1.0 / total, 3),
+        "value": round(res["scans_per_sec"], 3),
         "unit": "scans/sec/chip",
         "dtype": args.dtype,
-        "phases_ms": {k: round(v / args.runs * 1e3, 1) for k, v in ordered},
+        "phases_ms": res["phases_ms"],
     }))
 
 

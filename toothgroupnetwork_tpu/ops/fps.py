@@ -125,9 +125,17 @@ def _fps_batched(xyz: jnp.ndarray, n_samples: int,
         impl = ("pallas" if (_on_tpu() and n >= 1024
                              and b * n <= _MULTICLOUD_MAX_ELEMS) else "jnp")
     if impl == "pallas":
-        from .pallas.fps_kernel import fps_pallas_multicloud
+        # The VMEM guard applies to EXPLICIT pallas too: the sublane-multicloud
+        # kernel keeps the whole [B, Np] working set resident and Mosaic fails
+        # compilation past ~16 MB — fall back to the per-cloud grid kernel
+        # (one cloud resident at a time) instead of erroring.
+        if b * n <= _MULTICLOUD_MAX_ELEMS:
+            from .pallas.fps_kernel import fps_pallas_multicloud
 
-        return fps_pallas_multicloud(xyz, n_samples, mask)
+            return fps_pallas_multicloud(xyz, n_samples, mask)
+        from .pallas.fps_kernel import fps_pallas_batched
+
+        return fps_pallas_batched(xyz, n_samples, mask)
     xyz = xyz.astype(jnp.float32)
     if mask is None:
         valid = jnp.ones((b, n), dtype=bool)

@@ -1,18 +1,30 @@
-"""Exact k-nearest-neighbor query.
+"""k-nearest-neighbor query (exact off-TPU; approximate-candidate on TPU).
 
 TPU-native equivalent of the reference's CUDA ``knnquery`` kernel
 (reference: external_libs/pointops/src/knnquery/knnquery_cuda_kernel.cu:65-108; python
 wrapper returns sqrt distances, external_libs/pointops/functions/pointops.py:43).
 
+Approximation scope per (backend, flags) — callers needing full exactness
+should pass ``TGN_TPU_KNN=exact`` or use the CPU path:
+  * CPU / ``TGN_TPU_KNN=exact``: exact candidate set (``lax.top_k``), exact
+    distances and order.
+  * TPU, ``need_dist=True`` (default): candidate SET from ``lax.approx_max_k``
+    for reference axes >= 1024 (per-neighbor recall ~0.95-0.98 at k=36; the
+    global nearest is always retained — approx_max_k keeps each reduction
+    bin's maximum); the selected candidates are exactly re-scored by direct
+    subtraction and re-sorted, so returned distances and ORDER are exact
+    within the set.
+  * TPU, ``need_dist=False``: same approximate candidate set, and additionally
+    the re-score gather is skipped — returned distances are matmul-expansion
+    precision and near-exact ties may be misordered. Most flagship call sites
+    (attention neighborhoods, crops, TransitionDown, CBL, 1-NN upsample) run
+    this mode: they consume the neighbor SET only.
+
 Implementation notes (all perf facts verified with chained timing +
 ``compiled.cost_analysis()`` — see CLAUDE.md):
   * distances via the MXU matmul expansion, tiled over the query axis,
   * candidate selection: ``lax.approx_max_k`` on TPU (the PartialReduce unit;
-    ``lax.top_k`` lowers to a full bitonic sort ~4x slower), exact ``top_k``
-    elsewhere or with TGN_TPU_KNN=exact,
-  * the selected k are exactly re-scored by direct subtraction and re-sorted, so
-    returned distances/order are exact — only the candidate SET is approximate
-    (recall ≈0.98 at k=36),
+    ``lax.top_k`` lowers to a full bitonic sort ~4x slower),
   * batched inputs are handled natively (batched einsum distances + batched
     selection) — vmap over the single-cloud path costs ~7x in constants.
 """
@@ -66,7 +78,8 @@ def knn_points(
     include_self: bool = False,
     need_dist: bool = True,
 ):
-    """Exact kNN from ``query`` into ``points``.
+    """kNN from ``query`` into ``points`` (see module docstring for the
+    approximation scope per backend/flags; exact on CPU or TGN_TPU_KNN=exact).
 
     Args:
       query: ``[M, C]`` or ``[B, M, C]`` query points.

@@ -14,7 +14,16 @@ from .mesh import (
 )
 from .ring import ring_knn
 from .distributed import maybe_initialize, local_batch_slice
+from .sharded_backbone import (
+    sharded_transition_down,
+    sharded_point_transformer_block,
+    sharded_transition_up,
+    sharded_encoder_stage,
+    extract_block_params,
+)
 
 __all__ = ["make_data_mesh", "shard_batch", "replicate",
            "sharded_square_distance", "ring_knn", "maybe_initialize",
-           "local_batch_slice"]
+           "local_batch_slice", "sharded_transition_down",
+           "sharded_point_transformer_block", "sharded_transition_up",
+           "sharded_encoder_stage", "extract_block_params"]

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.pallas.attention_kernel import fold_bn  # eval-BN affine fold
+
 _BIG = 3e38
 
 
@@ -167,3 +169,205 @@ def sharded_transition_down(p: jnp.ndarray, x: jnp.ndarray, n_samples: int,
     return _kernel(p.astype(jnp.float32), x.astype(jnp.float32),
                    lin_kernel.astype(jnp.float32),
                    bn_scale.astype(jnp.float32), bn_shift.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Full point-sharded encoder stage: TransitionDown + PointTransformerBlock(s)
+# and the decoder's TransitionUp — the complete set of layer types one
+# encoder/decoder stage of the backbone needs, all with the point axis sharded.
+# ---------------------------------------------------------------------------
+
+
+def extract_block_params(variables, name: str) -> dict:
+    """Flatten a trained dense ``PointTransformerBlock``'s variables (params +
+    batch_stats under module ``name``) into the replicated eval-param dict the
+    sharded block consumes. BNs are folded (eval running stats)."""
+    p = variables["params"][name]
+    s = variables["batch_stats"][name]
+
+    def bn(sub):
+        return fold_bn(p[sub]["scale"], p[sub]["bias"],
+                       s[sub]["mean"], s[sub]["var"])
+
+    t, ts = p["transformer"], s["transformer"]
+
+    def tbn(sub):
+        return fold_bn(t[sub]["scale"], t[sub]["bias"],
+                       ts[sub]["mean"], ts[sub]["var"])
+
+    out = {
+        "w_lin1": p["linear1"]["kernel"], "w_lin3": p["linear3"]["kernel"],
+        "bn1": bn("bn1"), "bn2": bn("bn2"), "bn3": bn("bn3"),
+        "wq": t["linear_q"]["kernel"], "bq": t["linear_q"]["bias"],
+        "wk": t["linear_k"]["kernel"], "bk": t["linear_k"]["bias"],
+        "wv": t["linear_v"]["kernel"], "bv": t["linear_v"]["bias"],
+        "wp0": t["linear_p0"]["kernel"], "bp0": t["linear_p0"]["bias"],
+        "wp1": t["linear_p1"]["kernel"], "bp1": t["linear_p1"]["bias"],
+        "w0": t["linear_w0"]["kernel"], "c0": t["linear_w0"]["bias"],
+        "w1": t["linear_w1"]["kernel"], "c1": t["linear_w1"]["bias"],
+        "bn_p": tbn("linear_p_bn"),
+        "bn_w0": tbn("linear_w_bn0"), "bn_w1": tbn("linear_w_bn1"),
+    }
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), out)
+
+
+def _affine(x, ab):
+    a, b = ab
+    return x * a + b
+
+
+def _attention_local(q, p_r, x_g, w: dict, share_planes: int):
+    """The vector-attention math AFTER the neighborhood gather — pure local
+    work, shared verbatim between shards (backbone.py:PointTransformerLayer
+    XLA path; reference blocks.py:14-44). q [M, mid]; p_r/x_g [M, K, 3/C]."""
+    m, k, _ = p_r.shape
+    mid = q.shape[-1]
+    out = w["wv"].shape[-1]
+    cs = out // share_planes
+
+    p_flat = p_r.reshape(m * k, 3)
+    x_flat = x_g.reshape(m * k, -1)
+    k_g = x_flat @ w["wk"] + w["bk"]
+    v_g = x_flat @ w["wv"] + w["bv"]
+    pe = _affine(p_flat @ w["wp0"] + w["bp0"], w["bn_p"])
+    pe = jnp.maximum(pe, 0.0) @ w["wp1"] + w["bp1"]
+
+    logits = k_g - jnp.repeat(q, k, axis=0) + pe
+    logits = jnp.maximum(_affine(logits, w["bn_w0"]), 0.0) @ w["w0"] + w["c0"]
+    logits = jnp.maximum(_affine(logits, w["bn_w1"]), 0.0) @ w["w1"] + w["c1"]
+
+    w3 = logits.reshape(m, k, cs)
+    w3 = w3 - jnp.max(w3, axis=1, keepdims=True)
+    ex = jnp.exp(w3)
+    w3 = ex / jnp.sum(ex, axis=1, keepdims=True)
+
+    w_full = jnp.tile(w3.reshape(m * k, cs), (1, share_planes))
+    prod = (v_g + pe) * w_full
+    reduce_m = jnp.tile(jnp.eye(out, dtype=prod.dtype), (k, 1))
+    return jnp.matmul(prod.reshape(m, k * out), reduce_m,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def sharded_point_transformer_block(p, x, knn_idx, params: dict, mesh: Mesh,
+                                    axis: str = "model",
+                                    share_planes: int = 8):
+    """Eval-mode residual PointTransformerBlock with the POINT axis sharded
+    (backbone.py:PointTransformerBlock; reference blocks.py:114-135).
+
+    The only cross-device exchange is the neighborhood gather: k/v source rows
+    ride the ppermute ring (``_ring_gather_body`` of cat(p, x)); q, the
+    positional/weight MLPs, softmax, and the aggregation are all local to the
+    query shard. This composes with ``sharded_transition_down`` into a full
+    point-sharded encoder stage.
+
+    Args:
+      p: ``[N, 3]`` sharded over ``axis``; x: ``[N, C]`` sharded likewise.
+      knn_idx: ``[N, K]`` GLOBAL neighbor indices, sharded over queries
+        (e.g. from ``parallel.ring.ring_knn``).
+      params: ``extract_block_params`` dict (replicated).
+
+    Returns ``[N, C]`` sharded — numerically the dense block's eval output.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = p.shape[0]
+    n_dev = mesh.shape[axis]
+    shard_n = n // n_dev
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P()),
+             out_specs=P(axis, None), check_rep=False)
+    def _kernel(p_shard, x_shard, idx_shard, w):
+        me = jax.lax.axis_index(axis)
+        identity = x_shard
+        h = x_shard @ w["w_lin1"]
+        h = jnp.maximum(_affine(h, w["bn1"]), 0.0)
+
+        q = h @ w["wq"] + w["bq"]
+        ph = jnp.concatenate([p_shard, h], axis=-1)
+        grouped = _ring_gather_body(ph, idx_shard, me, shard_n, n_dev, axis)
+        p_r = grouped[..., :3] - p_shard[:, None, :]
+        agg = _attention_local(q, p_r, grouped[..., 3:], w, share_planes)
+
+        h = jnp.maximum(_affine(agg, w["bn2"]), 0.0)
+        h = h @ w["w_lin3"]
+        h = _affine(h, w["bn3"])
+        return jnp.maximum(h + identity, 0.0)
+
+    return _kernel(p.astype(jnp.float32), x.astype(jnp.float32),
+                   knn_idx.astype(jnp.int32), params)
+
+
+def sharded_transition_up(p1, x1, p2, x2, params: dict, mesh: Mesh,
+                          axis: str = "model"):
+    """Eval-mode decoder TransitionUp with BOTH resolutions point-sharded
+    (backbone.py:TransitionUp non-head branch; reference blocks.py:82-111):
+    lateral Dense+BN+ReLU on each side (local), then 3-NN inverse-distance
+    interpolation of the coarse features onto the fine points — the 3-NN runs
+    on the ring (``_ring_knn_body``) and the weighted gather rides the same
+    ring (``_ring_gather_body``), so no device ever holds the full cloud.
+
+    params: {"w1","b1","bn1","w2","b2","bn2"} with bn* folded eval affines.
+    Returns ``[N1, C_out]`` sharded over ``axis``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n1, n2 = p1.shape[0], p2.shape[0]
+    n_dev = mesh.shape[axis]
+    shard1, shard2 = n1 // n_dev, n2 // n_dev
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P()),
+             out_specs=P(axis, None), check_rep=False)
+    def _kernel(p1s, x1s, p2s, x2s, w):
+        me = jax.lax.axis_index(axis)
+        a = x1s @ w["w1"] + w["b1"]
+        a = jnp.maximum(_affine(a, w["bn1"]), 0.0)
+        b = x2s @ w["w2"] + w["b2"]
+        b = jnp.maximum(_affine(b, w["bn2"]), 0.0)
+
+        kidx = _ring_knn_body(p1s, p2s, 3, me, shard2, n_dev, axis)
+        neigh_pb = _ring_gather_body(jnp.concatenate([p2s, b], -1), kidx,
+                                     me, shard2, n_dev, axis)
+        delta = neigh_pb[..., :3] - p1s[:, None, :]
+        d2 = jnp.sum(delta * delta, axis=-1)
+        dist = jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+        recip = 1.0 / (dist + 1e-8)                       # pointops.py:170-173
+        wgt = recip / jnp.sum(recip, axis=-1, keepdims=True)
+        up = jnp.sum(neigh_pb[..., 3:] * wgt[..., None], axis=1)
+        return a + up
+
+    return _kernel(p1.astype(jnp.float32), x1.astype(jnp.float32),
+                   p2.astype(jnp.float32), x2.astype(jnp.float32),
+                   jax.tree_util.tree_map(
+                       lambda a: jnp.asarray(a, jnp.float32), params))
+
+
+def sharded_encoder_stage(p, x, n_samples: int, k_down: int, k_attn: int,
+                          down_params: dict, block_params: list[dict],
+                          mesh: Mesh, axis: str = "model",
+                          share_planes: int = 8):
+    """One COMPLETE point-sharded encoder stage of the backbone
+    (backbone.py:383-413: TransitionDown -> per-stage ring kNN -> attention
+    blocks), eval mode: every tensor stays sharded ``N/D`` per device
+    throughout. Parity vs the dense stage is tested on the 8-device mesh
+    (tests/test_misc_parallel.py::TestShardedEncoderStage).
+
+    down_params: {"w","scale","shift"}; block_params: one
+    ``extract_block_params`` dict per attention block.
+    Returns ``(new_p [M,3], new_x [M,C'])`` sharded over ``axis``.
+    """
+    from .ring import ring_knn
+
+    new_p, new_x = sharded_transition_down(
+        p, x, n_samples, k_down, down_params["w"], down_params["scale"],
+        down_params["shift"], mesh, axis)
+    # per-stage kNN computed ONCE and shared by every block (backbone.py:401)
+    kidx, _ = ring_knn(new_p, new_p, k_attn, mesh, axis)
+    for bp in block_params:
+        new_x = sharded_point_transformer_block(
+            new_p, new_x, kidx, bp, mesh, axis, share_planes)
+    return new_p, new_x

@@ -19,10 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..data.mesh_io import compute_vertex_normals, parse_obj, subdivide_midpoint
-
-SCALER = 1.8
-SHIFTER = 0.8
-N_SAMPLE = 24000
+from ..data.scan_prep import N_SAMPLE, SCALER, SHIFTER, normalize_scan_vertices
 
 
 def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
@@ -30,10 +27,7 @@ def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
     features (pre-subdivision, the 1-NN upsample targets) and the FPS-sampled model
     input."""
     vertices, faces = parse_obj(stl_path)
-    vertices = vertices.copy()
-    vertices -= vertices.mean(axis=0)
-    ymin, ymax = vertices[:, 1].min(), vertices[:, 1].max()
-    vertices = (vertices - ymin) / (ymax - ymin) * SCALER - SHIFTER
+    vertices = normalize_scan_vertices(vertices)
 
     normals = compute_vertex_normals(vertices, faces)
     org_feats = np.concatenate([vertices, normals], axis=1)
@@ -48,21 +42,43 @@ def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
 
 
 _FPS_BUCKET = 8192
+_FPS_CHUNKS = 16          # spatial chunks for the two-level sampler
+_FPS_CHUNKED_MIN = 32768  # below this the exact kernel is already fast
+
+
+def _fps_sample_mode() -> str:
+    import os
+
+    return os.environ.get("TGN_FPS_SAMPLE", "auto")
 
 
 def fps_sample_idx(xyz: np.ndarray, n: int) -> np.ndarray:
     """Device-FPS indices for a host cloud of ARBITRARY size.
+
+    Dispatch (TGN_FPS_SAMPLE=auto|exact|chunked): large clouds on TPU use the
+    two-level chunked sampler below — mesh-prep/resample FPS tolerates
+    approximation (the reference itself FPS-samples once OFFLINE,
+    preprocess_data.py:55-56; only the in-model TransitionDown FPS carries the
+    CUDA seed contract, and that path never comes through here). Everything
+    else runs the exact sequential kernel.
 
     Pads the point count up to a multiple of 8192 with a validity mask so that
     every scan size in a bucket shares ONE compiled executable — unbucketed,
     each new mesh size would trigger a fresh XLA compile (minutes through the
     tunneled chip; the scan sizes of a production stream are all distinct).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..ops import farthest_point_sample
 
     n0 = xyz.shape[0]
+    mode = _fps_sample_mode()
+    if mode == "chunked" or (
+            mode == "auto" and n0 >= _FPS_CHUNKED_MIN
+            and jax.default_backend() in ("tpu", "axon")):
+        return fps_sample_idx_chunked(xyz, n)
+
     n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
     pad = np.zeros((n_pad, 3), np.float32)
     pad[:n0] = xyz[:, :3]
@@ -74,6 +90,56 @@ def fps_sample_idx(xyz: np.ndarray, n: int) -> np.ndarray:
     idx = np.asarray(farthest_point_sample(
         jnp.asarray(pad), n_bucket, jnp.asarray(mask)))
     return idx[:n]
+
+
+def fps_sample_idx_chunked(xyz: np.ndarray, n: int,
+                           n_chunks: int = _FPS_CHUNKS) -> np.ndarray:
+    """Two-level approximate FPS: sort by the highest-variance axis, split into
+    ``n_chunks`` equal-count slabs, and run FPS on ALL slabs simultaneously
+    with the sublane-multicloud Pallas kernel (ops/pallas/fps_kernel.py).
+
+    The exact kernel is a sequential chain of n iterations (~9 us each on the
+    v5e regardless of lane count) — 24k samples = ~210 ms/scan, the single
+    largest end-to-end phase at round 2. Chunking divides the chain length by
+    ``n_chunks`` (1500 iterations for 24k/16) while each iteration still
+    advances every slab: ~16x faster. Within-slab selection is true FPS;
+    cross-slab balance comes from equal-count slabs getting equal quotas.
+    Samples interleave slab-major by selection rank, so a truncated prefix
+    (the quota padding trim) drops the LAST-ranked samples of each slab
+    evenly, preserving coverage.
+
+    Shapes are bucketed (slab length to 512s, quota to 128s) so a production
+    stream of distinct scan sizes shares compiled executables.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import farthest_point_sample
+
+    xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
+    n0 = xyz.shape[0]
+    assert n0 >= n, "caller guarantees n0 >= n (fps_sample repeats otherwise)"
+    ax = int(np.argmax(xyz.var(axis=0)))
+    order = np.argsort(xyz[:, ax], kind="stable")
+
+    chunk_len = -(-n0 // n_chunks)
+    chunk_pad = -(-chunk_len // 512) * 512
+    quota = -(-n // n_chunks)
+    quota_pad = min(-(-quota // 128) * 128, chunk_len)
+
+    pts = np.zeros((n_chunks, chunk_pad, 3), np.float32)
+    mask = np.zeros((n_chunks, chunk_pad), bool)
+    starts = np.minimum(np.arange(n_chunks) * chunk_len, n0)
+    ends = np.minimum(starts + chunk_len, n0)
+    for c in range(n_chunks):
+        m = ends[c] - starts[c]
+        pts[c, :m] = xyz[order[starts[c]:ends[c]]]
+        mask[c, :m] = True
+
+    local = np.asarray(farthest_point_sample(
+        jnp.asarray(pts), quota_pad, jnp.asarray(mask)))  # [n_chunks, quota_pad]
+    global_idx = order[np.minimum(starts[:, None] + local, n0 - 1)]
+    # interleave by selection rank: [quota_pad, n_chunks] -> flat -> trim
+    return global_idx.T.reshape(-1)[:n]
 
 
 def fps_sample(feats: np.ndarray, n: int) -> np.ndarray:

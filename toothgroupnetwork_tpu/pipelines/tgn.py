@@ -30,48 +30,20 @@ from ..models.tgnet import TGNet, make_crops
 from ..postprocess.boundary import boundary_sampled_feats
 from ..postprocess.clustering import clustering_points, get_clustering_labels
 from ..postprocess.fusion import disambiguate_arch_labels, merge_boundary_clusters
-from .base import N_SAMPLE, SCALER, SHIFTER, fps_sample
-from ..data.mesh_io import compute_vertex_normals, parse_obj, subdivide_midpoint
+from .base import N_SAMPLE, fps_sample
+from ..data.scan_prep import prep_scan_host_tgn
 
 K_MAX = 16  # crop slots; challenge jaws have <= 16 teeth
-
-
-def _dedup_vertices(vertices: np.ndarray, faces: np.ndarray):
-    """Remove duplicated vertices keeping first occurrence (the reference's
-    o3d ``remove_duplicated_vertices``, inference_pipeline_tgn.py:27)."""
-    _, first_idx, inverse = np.unique(vertices, axis=0, return_index=True,
-                                      return_inverse=True)
-    order = np.argsort(first_idx)
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    new_vertices = vertices[np.sort(first_idx)]
-    new_faces = rank[inverse][faces] if faces.size else faces
-    return new_vertices, new_faces
 
 
 def prep_mesh_tgn(stl_path: str, n_sample: int = N_SAMPLE):
     """Returns (org_feats, bdl_feats, sampled_feats) — original-vertex features
     (post-dedup; the 1-NN output targets), the boundary-resampling source (subdivided
-    when the mesh is small), and the 24k FPS sample."""
-    vertices, faces = parse_obj(stl_path)
-    vertices, faces = _dedup_vertices(vertices, faces)
-    vertices = vertices - vertices.mean(axis=0)
-    ymin, ymax = vertices[:, 1].min(), vertices[:, 1].max()
-    vertices = (vertices - ymin) / (ymax - ymin) * SCALER - SHIFTER
-
-    normals = compute_vertex_normals(vertices, faces)
-    org_feats = np.concatenate([vertices, normals], axis=1)
-
-    if vertices.shape[0] < n_sample:
-        sub_v, sub_f = subdivide_midpoint(vertices, faces, 1)
-        sub_n = compute_vertex_normals(sub_v, sub_f)
-        bdl_feats = np.concatenate([sub_v, sub_n], axis=1)
-    else:
-        bdl_feats = org_feats.copy()
-
+    when the mesh is small), and the 24k FPS sample. The numpy portion lives in
+    the JAX-free ``data.scan_prep`` so ``run_many`` worker processes can run it."""
+    org_feats, bdl_feats = prep_scan_host_tgn(stl_path, n_sample)
     sampled = fps_sample(bdl_feats, n_sample)
-    return (org_feats.astype(np.float32), bdl_feats.astype(np.float32),
-            sampled.astype(np.float32))
+    return org_feats, bdl_feats, sampled.astype(np.float32)
 
 
 def _pad_centroids(centroids: list[np.ndarray], k_max: int = K_MAX):
@@ -154,60 +126,81 @@ class TgnInferencePipeline:
         self._bdl_stage2 = jax.jit(
             lambda f, c, v: stage2(self.bdl_module, self.bdl_vars, f, c, v))
 
-        # Per-phase wall time of the LAST __call__, seconds (SURVEY.md §5
-        # tracing/profiling — the reference pipeline has no observability;
-        # its known-slow spots are inference_pipeline_tgn.py:26,43).
+        # Per-phase wall time of the LAST COMPLETED __call__, seconds
+        # (SURVEY.md §5 tracing/profiling — the reference pipeline has no
+        # observability; its known-slow spots are
+        # inference_pipeline_tgn.py:26,43). Each __call__ accumulates into its
+        # OWN local dict and publishes it here on completion, so concurrent
+        # run_many scans cannot interleave phase times into one dict.
         self.timings: dict[str, float] = defaultdict(float)
 
-    def _t(self, name: str, t0: float) -> float:
+    @staticmethod
+    def _t(timings: dict, name: str, t0: float) -> float:
         now = time.perf_counter()
-        self.timings[name] += now - t0
+        timings[name] += now - t0
         return now
 
     # ------------------------------------------------------------------
     def _run_stage(self, stage1_fn, stage2_fn, feats_np, crop_centroids_from,
-                   tag: str):
+                   tag: str, timings: dict):
         """Shared stage runner: forward, host centroids, crops, crop votes."""
         t0 = time.perf_counter()
         feats = jnp.asarray(feats_np[None])
         cls_1, offset_1 = stage1_fn(feats)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
         cls_1, offset_1 = jax.device_get((cls_1[0], offset_1[0]))
-        t0 = self._t(f"{tag}:stage1_device", t0)
+        t0 = self._t(timings, f"{tag}:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
         centroids = crop_centroids_from(cls_1, moved, xyz)
-        t0 = self._t(f"{tag}:host_centroids", t0)
+        t0 = self._t(timings, f"{tag}:host_centroids", t0)
         cents, valid, valid_h = _pad_centroids(centroids)
         sem_2, crop_idx_h = jax.device_get(stage2_fn(feats, cents, valid))
-        t0 = self._t(f"{tag}:stage2_device", t0)
+        t0 = self._t(timings, f"{tag}:stage2_device", t0)
         whole_mask = _aggregate_crop_votes(
             sem_2, crop_idx_h, valid_h[0], len(feats_np))
-        self._t(f"{tag}:host_votes", t0)
+        self._t(timings, f"{tag}:host_votes", t0)
         return cls_1, offset_1, moved, whole_mask
 
-    def run_many(self, stl_paths, workers: int = 2):
+    def run_many(self, stl_paths, workers: int = 3, prep_workers: int = 2):
         """Overlapped multi-scan inference: ``workers`` scans in flight so one
-        scan's host phases (mesh prep, clustering, boundary resample, fusion —
-        ~40% of a scan) run while another's device stages occupy the TPU; JAX
-        execution is thread-safe and the host phases release the GIL in
-        numpy/scipy/sklearn C code. Returns results in input order.
+        scan's host phases (clustering, boundary resample, fusion) run while
+        another's device stages occupy the TPU, and mesh prep (obj parse,
+        dedup, normals — the heaviest pure-host phase) is PREFETCHED in
+        ``prep_workers`` spawned worker processes: true parallelism past the
+        GIL, importing only the JAX-free ``data.scan_prep`` module so workers
+        never touch the TPU tunnel. Returns results in input order.
 
         The reference pipeline is strictly serial per scan
         (inference_pipeline_tgn.py:20-60); this is the TPU-serving analog of
-        its batch loop. ``self.timings`` reflects the last finished scan.
+        its batch loop. ``self.timings`` reflects the last COMPLETED scan.
         """
-        from concurrent.futures import ThreadPoolExecutor
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-            return list(ex.map(self, stl_paths))
+        if prep_workers <= 0:
+            with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+                return list(ex.map(self, stl_paths))
 
-    def __call__(self, stl_path: str) -> dict:
-        self.timings = defaultdict(float)
+        ctx = mp.get_context("spawn")  # fork would clone the TPU client state
+        with ProcessPoolExecutor(prep_workers, mp_context=ctx) as pp:
+            futs = [pp.submit(prep_scan_host_tgn, p, self.n_sample)
+                    for p in stl_paths]
+            with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+                return list(ex.map(
+                    lambda pf: self(pf[0], _prep=pf[1].result()),
+                    zip(stl_paths, futs)))
+
+    def __call__(self, stl_path: str, _prep=None) -> dict:
+        timings: dict[str, float] = defaultdict(float)
         t0 = time.perf_counter()
-        org_feats, bdl_feats, sampled = prep_mesh_tgn(stl_path, self.n_sample)
+        # _prep: optional prefetched (org_feats, bdl_feats) from run_many's
+        # worker processes; the device FPS sample always runs here
+        org_feats, bdl_feats = _prep or prep_scan_host_tgn(stl_path,
+                                                           self.n_sample)
+        sampled = fps_sample(bdl_feats, self.n_sample).astype(np.float32)
         n_vertices = org_feats.shape[0]
-        t0 = self._t("mesh_prep", t0)
+        t0 = self._t(timings, "mesh_prep", t0)
 
         # ---------------- stage 1 (fps model) ----------------
         def fps_centroids(cls1, moved, xyz):
@@ -217,7 +210,8 @@ class TgnInferencePipeline:
                     for i in np.unique(fg_labels)]
 
         cls_1, offset_1, moved, whole_mask = self._run_stage(
-            self._fps_stage1, self._fps_stage2, sampled, fps_centroids, "fps")
+            self._fps_stage1, self._fps_stage2, sampled, fps_centroids, "fps",
+            timings)
         t0 = time.perf_counter()  # cls_1: half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
@@ -226,7 +220,7 @@ class TgnInferencePipeline:
             fg_ins = get_clustering_labels(moved, whole_mask)
             ins_labels[whole_mask != 0] = fg_ins
         ins_labels = (ins_labels + 1).astype(np.int64)  # 0 = bg
-        t0 = self._t("host_instancing", t0)
+        t0 = self._t(timings, "host_instancing", t0)
 
         # ---------------- boundary stage (bdl model) ----------------
         bdl_sampled, pseudo_labels, n_bd = boundary_sampled_feats(
@@ -235,7 +229,7 @@ class TgnInferencePipeline:
             num_bdl_points=self.boundary_info["num_of_bdl_points"],
             num_all_points=self.boundary_info["num_of_all_points"])
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
-        t0 = self._t("host_boundary_resample", t0)
+        t0 = self._t(timings, "host_boundary_resample", t0)
 
         def bdl_centroids(cls_1b, moved_b, xyz_b):
             return [xyz_b[pseudo_in == i].mean(axis=0)
@@ -243,7 +237,7 @@ class TgnInferencePipeline:
 
         _, offset_1b, moved_b, whole_mask_b = self._run_stage(
             self._bdl_stage1, self._bdl_stage2, bdl_sampled, bdl_centroids,
-            "bdl")
+            "bdl", timings)
         t0 = time.perf_counter()
 
         n_clusters = len(np.unique(pseudo_in)) - 1
@@ -254,7 +248,7 @@ class TgnInferencePipeline:
                 [moved_b[fg_b]], "kmeans", [n_clusters])
             bdl_ins[fg_b] = labels_ls[0]
         bdl_ins = (bdl_ins + 1).astype(np.int64)
-        t0 = self._t("host_bdl_kmeans", t0)
+        t0 = self._t(timings, "host_bdl_kmeans", t0)
 
         # ---------------- fusion ----------------
         first_xyz = sampled[:, :3]
@@ -267,7 +261,7 @@ class TgnInferencePipeline:
         final_points = np.concatenate([first_xyz, bdl_xyz], axis=0)
         final_ins = np.concatenate([ins_labels, mod_ps], axis=0)
         final_sem = np.concatenate([new_sem, mod_sem], axis=0)
-        t0 = self._t("host_fusion", t0)
+        t0 = self._t(timings, "host_fusion", t0)
 
         # ---------------- 1-NN transfer + FDI remap ----------------
         # host KD-tree: measured 70 ms vs 143 ms for the device MXU variant at
@@ -280,7 +274,8 @@ class TgnInferencePipeline:
         result_sem = final_sem[nn.reshape(-1)].copy()
         result_sem[result_sem >= 9] += 2
         result_sem[result_sem > 0] += 10
-        self._t("host_1nn_transfer", t0)
+        self._t(timings, "host_1nn_transfer", t0)
+        self.timings = timings
         assert result_sem.shape[0] == n_vertices
         assert result_ins.shape[0] == n_vertices
         return {"sem": result_sem.reshape(-1), "ins": result_ins.reshape(-1)}

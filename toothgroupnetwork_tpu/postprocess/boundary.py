@@ -23,20 +23,41 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
     """[Np,3] x [M,3] -> (ratio [Np], nn1_label [Np]) on device: 40-NN label
     purity + 1-NN label, MXU distances instead of a host KD-tree sweep.
     Jitted ONCE at module scope — a per-call ``jax.jit(partial(...))`` wrapper
-    would recompile the 100k x 24k graph on every scan (measured 21 s/scan)."""
+    would recompile the 100k x 24k graph on every scan (measured 21 s/scan).
+
+    Exactness: the 1-NN label becomes the boundary points' OUTPUT semantics, so
+    its identity is re-derived by an exact re-score of the top-4 approx
+    candidates (the approx path's candidate SET always contains the global
+    nearest — approx_max_k retains each reduction bin's maximum — but its
+    matmul-expansion distances can misorder near-ties; the narrow re-score
+    fixes the order at ~1/10 the cost of a full need_dist=True 40-wide
+    re-score). The purity RATIO keeps approx-selection membership for the
+    other 39 columns — it is a mean over 40 labels and insensitive to
+    per-neighbor recall ~0.95."""
     global _purity_device_jit
     if _purity_device_jit is None:
         import jax
         import jax.numpy as jnp
 
         from ..ops import knn_points
+        from ..ops.gather import index_points
 
         def fn(org_xyz, sampled_xyz, labels, k):
             idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
                                 need_dist=False)
+            # exact re-score of the leading candidates -> true 1-NN identity
+            j = min(4, k)
+            cand = idx[:, :j]                               # [Np, j]
+            cand_xyz = index_points(sampled_xyz, cand)      # [Np, j, 3]
+            delta = org_xyz[:, None, :].astype(jnp.float32) - cand_xyz
+            d2 = jnp.sum(delta * delta, axis=-1)
+            best = jnp.argmin(d2, axis=-1)                  # [Np]
+            nn1 = jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0]
+            nn1_lab = jnp.take(labels, nn1)
             lab = jnp.take(labels, idx.reshape(-1)).reshape(idx.shape)
-            ratio = jnp.mean((lab == lab[:, :1]).astype(jnp.float32), axis=1)
-            return ratio, lab[:, 0]
+            ratio = jnp.mean((lab == nn1_lab[:, None]).astype(jnp.float32),
+                             axis=1)
+            return ratio, nn1_lab
 
         _purity_device_jit = jax.jit(fn, static_argnames=("k",))
     return _purity_device_jit(org_xyz, sampled_xyz, labels, k=k)
@@ -46,9 +67,9 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                      point_labels: np.ndarray, k: int):
     """Returns (first-label ratio [N], 1-NN label [N]). Device path on TPU
     (bucketed query size, one compiled executable per size bucket); host
-    KD-tree elsewhere. Device col-0 is the true nearest up to approx-selection
-    recall (>0.99 at these shapes) — the purity score is insensitive to
-    neighbor order."""
+    KD-tree elsewhere. The device 1-NN label is exact (narrow re-score in
+    _purity_device_fn); only the purity ratio's 40-neighbor MEMBERSHIP is
+    approx-selection (recall ~0.95), which the mean is insensitive to."""
     import jax
 
     n0 = org_xyz.shape[0]

@@ -36,7 +36,11 @@ def clustering_points(moved_points_list, method: str, num_of_clusters=None):
             labels = AgglomerativeClustering(k).fit(pts).labels_
         elif method == "kmeans":
             k = max(1, int(num_of_clusters[b]))
-            labels = KMeans(k, init="k-means++").fit(pts).labels_
+            # seeded: the reference leaves KMeans unseeded (ops_utils.py:28) but
+            # run-to-run instance-label determinism is part of this framework's
+            # serving contract (run_many determinism test); the seed is not
+            # load-bearing for accuracy
+            labels = KMeans(k, init="k-means++", random_state=0).fit(pts).labels_
         elif method == "mean_shift":
             labels = MeanShift(bandwidth=0.05).fit(pts).labels_
         else:

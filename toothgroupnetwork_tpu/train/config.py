@@ -37,8 +37,12 @@ class SchedulerConfig:
     milestones: tuple = (30, 60)
     plateau_patience: int = 10
     plateau_factor: float = 0.1
-    # reference "schedueler_step": batches between scheduler steps; all configs set
-    # 15e6 so stepping is effectively once per epoch — we keep per-epoch stepping.
+    # reference "schedueler_step" (trainer.py:36-41): batches between scheduler
+    # steps + per-step wandb logs. All shipped reference configs set 15e6 so it
+    # effectively fires once per epoch — 0 (default) keeps that per-epoch
+    # behavior; >0 enables the per-N-batch contract (step-frequency logs, lr_fn
+    # fed the step counter instead of the epoch).
+    step_batches: int = 0
 
 
 @dataclass

@@ -114,10 +114,18 @@ def make_epoch_lr_fn(opt: OptimizerConfig, sched: SchedulerConfig):
 
 class PlateauLR:
     """Stateful plateau scheduler (reference plateau_lr.py:12-58 wrapping torch
-    ReduceLROnPlateau, mode='min'): multiply lr by ``factor`` after ``patience``
-    epochs without improvement. Call ``lr_fn(epoch, metric=val_loss)``; epochs
-    without a metric reuse the current lr (matches the factory's eval-metric
-    driven stepping, scheduler_factory.py:89-101)."""
+    ReduceLROnPlateau): multiply lr by ``factor`` after ``patience`` epochs
+    without improvement, using torch's default RELATIVE threshold
+    (``metric < best * (1 - 1e-4)`` in min mode). Call
+    ``lr_fn(epoch, metric=val_loss)``; epochs without a metric reuse the
+    current lr (matches the factory's eval-metric driven stepping,
+    scheduler_factory.py:89-101).
+
+    Deliberate deviation: we resolve mode='min' (improvement = lower val
+    loss). The reference factory's getattr-on-dict quirk effectively resolves
+    mode='max' — maximizing a LOSS, which never improves and decays lr every
+    ``patience`` epochs regardless of training; we implement the intended
+    semantics instead."""
 
     def __init__(self, base: float, min_lr: float, patience: int, factor: float):
         self.lr = base
@@ -129,7 +137,8 @@ class PlateauLR:
 
     def __call__(self, epoch: int, metric: float | None = None) -> float:
         if metric is not None:
-            if metric < self.best - 1e-4:
+            # torch ReduceLROnPlateau default threshold_mode='rel', mode='min'
+            if metric < self.best * (1 - 1e-4):
                 self.best = metric
                 self.bad_epochs = 0
             else:

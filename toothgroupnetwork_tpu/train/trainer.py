@@ -105,6 +105,7 @@ class Trainer:
 
         self.best_val = float("inf")
         self.epoch = 0
+        self.step_count = 0  # scheduler-step counter (reference step_count)
         self.wandb = None
         if config.wandb_on:
             try:
@@ -126,19 +127,57 @@ class Trainer:
                       for k, v in arrays.items()}
         return arrays
 
+    def _shard_arrays(self, arrays: dict) -> dict:
+        """Shard batch-leading host arrays over the data mesh (no-op single-chip)."""
+        if self.mesh is None:
+            return arrays
+        return {k: (jax.device_put(v, self.batch_sharding)
+                    if isinstance(v, (np.ndarray, jax.Array)) else v)
+                for k, v in arrays.items()}
+
     def train_epoch(self) -> dict:
         meter = LossMeter()
-        for batch in self.train_loader:
+        step_meter = LossMeter()
+        step_every = self.config.scheduler.step_batches
+        pre_step = self.step_count
+        try:
+            n_batches = len(self.train_loader)
+        except TypeError:
+            n_batches = -1  # unsized loader: no epoch-end fallback fire
+        for batch_idx, batch in enumerate(self.train_loader):
             db = self._device_batch(batch)
             if self.task.host_stage is not None:
-                # host stages may need non-array fields (mesh_path, augmenter)
-                db.update(self.task.host_stage(self.state, {**batch, **db},
-                                               self.config))
+                # host stages may need non-array fields (mesh_path, augmenter);
+                # their replacement arrays come back as host numpy and must be
+                # re-sharded over the data mesh like the originals (otherwise
+                # tgnet_bdl/tsegnet feat/labels enter the jitted step unsharded)
+                db.update(self._shard_arrays(
+                    self.task.host_stage(self.state, {**batch, **db},
+                                         self.config)))
             self.state, values = self._train_step(self.state, db)
             weighted = {f"{k}_step": float(v) * self._weight(k)
                         for k, v in values.items()}
-            weighted[f"total_step"] = sum(weighted.values())
+            weighted["total_step"] = sum(weighted.values())
             meter.aggr(weighted)
+            if step_every > 0:
+                # per-N-batch scheduler stepping + step-frequency logging
+                # (reference trainer.py:36-41: fire every schedueler_step
+                # batches, or once at epoch end if it never fired)
+                step_meter.aggr(weighted)
+                if ((batch_idx + 1) % step_every == 0
+                        or (self.step_count == pre_step
+                            and batch_idx == n_batches - 1)):
+                    lr = self.lr_fn(self.step_count) \
+                        if not isinstance(self.lr_fn, PlateauLR) else self.lr_fn.lr
+                    if self.wandb:
+                        self.wandb.log(step_meter.get_avg_results(),
+                                       step=self.step_count)
+                        self.wandb.log({"step_lr": lr}, step=self.step_count)
+                    self.step_count += 1
+                    if not isinstance(self.lr_fn, PlateauLR):
+                        self.state = self.state.set_learning_rate(
+                            self.lr_fn(self.step_count))
+                    step_meter = LossMeter()
         return {k.replace("_step", "_train"): v
                 for k, v in meter.get_avg_results().items()}
 
@@ -165,8 +204,9 @@ class Trainer:
                 shard = True
             db = self._device_batch(batch, shard=shard)
             if self.task.host_stage is not None:
-                db.update(self.task.host_stage(self.state, {**batch, **db},
-                                               self.config))
+                out = self.task.host_stage(self.state, {**batch, **db},
+                                           self.config)
+                db.update(self._shard_arrays(out) if shard else out)
             values = self._eval_step(self.state, db)
             weighted = {f"{k}_val": float(v) * self._weight(k)
                         for k, v in values.items()}
