@@ -84,7 +84,7 @@ def write_synthetic_obj(path, n_side=30, seed=0, scale=40.0):
     return verts, faces
 
 
-def make_synthetic_arch_mesh(seed=0, ns=160, nu=40, n_teeth=14, scale=40.0):
+def make_synthetic_arch_mesh(seed=0, ns=160, nu=40, n_teeth=12, scale=40.0):
     """Jaw-arch SHEET MESH with gaussian tooth bumps + per-vertex class labels.
 
     A parametric grid over (s: along-arch in [-1,1], u: across-arch): the sheet
@@ -98,18 +98,21 @@ def make_synthetic_arch_mesh(seed=0, ns=160, nu=40, n_teeth=14, scale=40.0):
     """
     rng = np.random.default_rng(seed)
     per_side = n_teeth // 2
-    # tooth stations in s, mirrored; jitter per scan
-    s_right = 0.10 + 0.125 * np.arange(per_side)
+    # tooth stations in s, mirrored; jitter per scan. Teeth sized so the
+    # foreground fraction (~45%) and per-tooth point share match the density
+    # regime the reference clustering constants assume (DBSCAN eps=.03,
+    # min_samples=30 needs tens of points within eps after offset collapse).
+    s_right = 0.12 + 0.15 * np.arange(per_side)
     s_pos = np.concatenate([s_right, -s_right])
     s_pos = s_pos + rng.normal(0, 0.008, s_pos.shape)
     classes = np.concatenate([np.arange(1, per_side + 1),               # right
                               np.array([9] + [8 + p for p in
                                               range(2, per_side + 1)])])  # left
     u_c = 0.0
-    r_bump, r_label, h = 0.050, 0.058, 0.14
+    r_bump, r_label, h = 0.062, 0.075, 0.14
 
     ss = np.linspace(-1, 1, ns)
-    us = np.linspace(-0.14, 0.14, nu)
+    us = np.linspace(-0.12, 0.12, nu)
     S, U = np.meshgrid(ss, us, indexing="ij")            # [ns, nu]
     # centerline + in-plane normal
     a = 0.9

@@ -445,3 +445,63 @@ class TestCellCandidates:
             np.testing.assert_allclose(
                 blk[gg, ll * 8:(ll + 1) * 8],
                 x[cand[gg, ll] * 8:(cand[gg, ll] + 1) * 8])
+
+
+class TestCellSelectKernel:
+    """ops/pallas/cell_select_kernel.py (interpret mode off-TPU): the one-hot
+    matmul select must reproduce index_points gathers bit-exactly."""
+
+    def test_matches_gather(self, rng):
+        from toothgroupnetwork_tpu.ops.cells import (
+            build_cell_candidates, gather_candidate_blocks, spatial_sort_perm,
+            pos_with_self_fallback)
+        from toothgroupnetwork_tpu.ops.pallas.cell_select_kernel import (
+            cell_select_p, cell_select_x)
+
+        n, k, c, L = 512, 12, 16, 24
+        u1 = rng.uniform(-1, 1, n)
+        u2 = rng.uniform(-1, 1, n)
+        xyz = np.stack([u1, 0.3 * u1 ** 2 + 0.2 * u2 ** 2, u2], 1)
+        xyz = (xyz + rng.normal(0, 0.01, xyz.shape)).astype(np.float32)
+        xyz = xyz[spatial_sort_perm(xyz, slab=128)]
+        x = rng.standard_normal((n, c)).astype(np.float32)
+
+        idx, _ = knn_points(jnp.asarray(xyz), jnp.asarray(xyz), k,
+                            include_self=True, need_dist=False)
+        cand, pos, _ = build_cell_candidates(idx, L)
+        pos = pos_with_self_fallback(pos, L * 8)
+        blk_x = gather_candidate_blocks(jnp.asarray(x), cand)
+        blk_p = gather_candidate_blocks(jnp.asarray(xyz), cand)
+        xg = cell_select_x(blk_x, pos)
+        pr = cell_select_p(blk_p, pos, jnp.asarray(xyz))
+
+        want_xg = np.asarray(index_points(jnp.asarray(x), idx))
+        want_pr = (np.asarray(index_points(jnp.asarray(xyz), idx))
+                   - xyz[:, None, :])
+        np.testing.assert_array_equal(np.asarray(xg), want_xg)
+        np.testing.assert_allclose(np.asarray(pr), want_pr, atol=1e-7)
+
+    def test_bf16_features(self, rng):
+        from toothgroupnetwork_tpu.ops.cells import (
+            build_cell_candidates, gather_candidate_blocks, spatial_sort_perm,
+            pos_with_self_fallback)
+        from toothgroupnetwork_tpu.ops.pallas.cell_select_kernel import (
+            cell_select_x)
+
+        n, k, c, L = 256, 8, 32, 16
+        xyz = rng.standard_normal((n, 3)).astype(np.float32)
+        xyz = xyz[spatial_sort_perm(xyz, slab=64)]
+        x = rng.standard_normal((n, c)).astype(np.float32)
+        idx, _ = knn_points(jnp.asarray(xyz), jnp.asarray(xyz), k,
+                            include_self=True, need_dist=False)
+        cand, pos, _ = build_cell_candidates(idx, L)
+        pos = pos_with_self_fallback(pos, L * 8)
+        blk_x = gather_candidate_blocks(
+            jnp.asarray(x).astype(jnp.bfloat16), cand)
+        xg = cell_select_x(blk_x, pos)
+        assert xg.dtype == jnp.bfloat16
+        want = np.asarray(index_points(
+            jnp.asarray(x).astype(jnp.bfloat16), idx))
+        np.testing.assert_array_equal(
+            np.asarray(xg.astype(jnp.float32)),
+            want.astype(np.float32))

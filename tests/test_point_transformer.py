@@ -128,3 +128,60 @@ class TestTask:
         step = jax.jit(make_train_step(task, cfg))
         state2, values = step(state, batch)
         assert np.isfinite(float(values["tooth_class_loss_1"]))
+
+
+class TestCellAttention:
+    """Super-row candidate gathers (ops/cells.py + cell_select kernels) wired
+    into the backbone: eval forward with cell_attention=True on a spatially
+    sorted cloud must match the regular-gather forward."""
+
+    def test_eval_parity_on_sorted_cloud(self, rng):
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            PointTransformerSeg)
+        from toothgroupnetwork_tpu.ops.cells import spatial_sort_perm
+
+        n = 512
+        u1 = rng.uniform(-1, 1, n)
+        u2 = rng.uniform(-1, 1, n)
+        xyz = np.stack([u1, 0.3 * u1 ** 2 + 0.2 * u2 ** 2, u2], 1)
+        xyz = (xyz + rng.normal(0, 0.01, xyz.shape)).astype(np.float32)
+        xyz = xyz[spatial_sort_perm(xyz, slab=128)]
+        feat = np.concatenate(
+            [xyz, rng.standard_normal((n, 3)).astype(np.float32) * 0.1], 1)
+
+        kw = dict(k=10, planes=(8, 16), stride=(1, 4), nsample=(12, 8),
+                  blocks=(2, 2), block_num=2)
+        ref = PointTransformerSeg(**kw, cell_attention=False)
+        cell = PointTransformerSeg(**kw, cell_attention=True, cell_slots=24)
+        variables = ref.init(jax.random.PRNGKey(0), jnp.asarray(feat[None]),
+                             None, train=False)
+        out_ref = ref.apply(variables, jnp.asarray(feat[None]), None, False)
+        out_cell = cell.apply(variables, jnp.asarray(feat[None]), None, False)
+        # identical params; the only difference is the gather mechanism.
+        # L=24 covers every candidate cell at k=12 on a sorted cloud, so the
+        # outputs agree to float tolerance.
+        np.testing.assert_allclose(np.asarray(out_cell["sem_1"]),
+                                   np.asarray(out_ref["sem_1"]),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_cell["offset_1"]),
+                                   np.asarray(out_ref["offset_1"]),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_train_mode_ignores_flag(self, rng):
+        from toothgroupnetwork_tpu.models.point_transformer.backbone import (
+            PointTransformerSeg)
+
+        n = 128
+        feat = rng.standard_normal((1, n, 6)).astype(np.float32) * 0.3
+        kw = dict(k=10, planes=(8, 16), stride=(1, 4), nsample=(8, 8),
+                  blocks=(2, 2), block_num=2)
+        ref = PointTransformerSeg(**kw, cell_attention=False)
+        cell = PointTransformerSeg(**kw, cell_attention=True)
+        variables = ref.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                             None, train=True)
+        o1, _ = ref.apply(variables, jnp.asarray(feat), None, True,
+                          mutable=["batch_stats"])
+        o2, _ = cell.apply(variables, jnp.asarray(feat), None, True,
+                           mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(o1["sem_1"]),
+                                      np.asarray(o2["sem_1"]))

@@ -22,6 +22,12 @@ SHIFTER = 0.8
 N_SAMPLE = 24000
 
 
+def warm_worker(_i: int = 0) -> bool:
+    """Prep-pool warmup target: spawning a worker pays the python + numpy
+    import cost here, outside any batch's timing (pipelines/tgn.py:_prep_pool)."""
+    return True
+
+
 def normalize_scan_vertices(vertices: np.ndarray) -> np.ndarray:
     """Mean-center, then scale ALL axes by this scan's y-extent:
     ``(v − min(y)) / (max(y) − min(y)) * 1.8 − 0.8`` — note this deliberately

@@ -77,10 +77,18 @@ class PointTransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
-                 p_r_flat=None):
+                 p_r_flat=None, cell_ctx=None):
         """``p_r_flat``: optional precomputed relative-position gather
         ``[B·N·K, 3]`` — identical for every block of a stage, so the backbone
-        hoists it (gathers are the dominant cost on TPU, ~26ms each at 24k)."""
+        hoists it (gathers are the dominant cost on TPU, ~26ms each at 24k).
+
+        ``cell_ctx``: optional ``(cand [G, L], pos [N, K])`` super-row
+        candidate context (ops/cells.py, hoisted per stage like ``p_r_flat``):
+        when present, the per-neighbor row gather — the layer's dominant TPU
+        cost — is replaced by a contiguous candidate-block gather + the
+        one-hot-matmul select kernel. Requires a spatially sorted cloud and
+        B == 1 (the 24k full-res stages; the batched crop stage keeps the
+        packed-kernel path)."""
         mid = self.planes
         out = self.planes
         s = self.share_planes
@@ -99,7 +107,15 @@ class PointTransformerLayer(nn.Module):
         # effective, 8-sublane read amplification), so moving C channels
         # instead of the 2C-wide concat(k, v) halves it; projecting the K-fold
         # duplicated rows costs only negligible MXU FLOPs.
-        x_g = index_points(x, knn_idx).reshape(bnk, cin)
+        if cell_ctx is not None:
+            from ...ops.cells import gather_candidate_blocks
+            from ...ops.pallas.cell_select_kernel import cell_select_x
+
+            cand, pos = cell_ctx
+            blk_x = gather_candidate_blocks(x[0], cand)
+            x_g = cell_select_x(blk_x, pos).reshape(bnk, cin)
+        else:
+            x_g = index_points(x, knn_idx).reshape(bnk, cin)
         if p_r_flat is None:
             p_r_flat = (index_points(p, knn_idx) - p[..., None, :]
                         ).reshape(bnk, 3)
@@ -214,14 +230,14 @@ class PointTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, p, x, knn_idx, mask=None, train: bool = True,
-                 p_r_flat=None):
+                 p_r_flat=None, cell_ctx=None):
         identity = x
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype,
                      name="linear1")(x)
         h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, mask, train))
         h = PointTransformerLayer(self.planes, self.share_planes, self.dtype,
                                   name="transformer")(p, h, knn_idx, mask, train,
-                                                      p_r_flat)
+                                                      p_r_flat, cell_ctx)
         h = nn.relu(MaskedBatchNorm(dtype=self.dtype, name="bn2")(h, mask, train))
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype,
                      name="linear3")(h)
@@ -372,6 +388,26 @@ class PointTransformerSeg(nn.Module):
     # computation dtype for the backbone body (bfloat16 halves the HBM traffic
     # that dominates this model; params/stats/geometry/logits stay float32)
     dtype: jnp.dtype = jnp.float32
+    # super-row candidate gathers (ops/cells.py) for the eval-mode full-res
+    # stride-1 stages. OPT-IN: requires the caller to feed a SPATIALLY SORTED
+    # cloud (ops/cells.py:spatial_sort_perm — the tgn pipeline sorts after
+    # FPS); an unsorted cloud silently degrades neighbor coverage.
+    cell_attention: bool = False
+    cell_slots: int = 32
+
+    def _cell_ctx(self, p, knn_idx, train: bool):
+        """Per-stage super-row candidate context (or None when ineligible):
+        eval-mode, B == 1, N divisible by 8 — i.e. the full-res stride-1
+        stages of the 24k path, where the per-neighbor gather dominates."""
+        b, n, _ = knn_idx.shape
+        if (not self.cell_attention or train or b != 1 or n % 8
+                or os.environ.get("TGN_TPU_CELLS", "on") == "off"):
+            return None
+        from ...ops.cells import build_cell_candidates, pos_with_self_fallback
+
+        cand, pos, _ = build_cell_candidates(knn_idx[0], self.cell_slots)
+        pos = pos_with_self_fallback(pos, self.cell_slots * 8)
+        return cand, pos
 
     @nn.compact
     def __call__(self, feat, mask=None, train: bool = True):
@@ -380,11 +416,14 @@ class PointTransformerSeg(nn.Module):
         x = feat.astype(self.dtype)
 
         # ---------------- encoder ----------------
-        stages = []  # per stage: p, x, mask, knn_idx, p_r_flat
+        stages = []  # per stage: p, x, mask, knn_idx, p_r_flat, cell_ctx
+        sorted_chain = True  # points still in the caller's (sorted) order?
         for i in range(bn):
             p, x, mask = TransitionDown(
                 self.planes[i], self.stride[i], self.nsample[i], self.dtype,
                 name=f"enc{i + 1}_down")(p, x, mask, train)
+            if self.stride[i] != 1:
+                sorted_chain = False  # FPS subset: selection order, not sorted
             if (i > 0 and self.stride[i] == 1
                     and self.nsample[i] <= self.nsample[i - 1]):
                 # stride-1 stage on the SAME point set with a no-larger k:
@@ -397,20 +436,32 @@ class PointTransformerSeg(nn.Module):
                             .reshape(x.shape[0], x.shape[1],
                                      self.nsample[i - 1], 3)
                             [:, :, :self.nsample[i], :].reshape(-1, 3))
+                cell_ctx = (self._cell_ctx(p, knn_idx, train)
+                            if sorted_chain else None)
             else:
                 knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
                                         include_self=True, need_dist=False)
+                cell_ctx = (self._cell_ctx(p, knn_idx, train)
+                            if sorted_chain else None)
                 # relative-position gather hoisted: shared by every block in
                 # the stage (encoder + decoder) — gathers dominate TPU cost
-                p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
-                            .reshape(-1, 3).astype(self.dtype))
+                if cell_ctx is not None:
+                    from ...ops.cells import gather_candidate_blocks
+                    from ...ops.pallas.cell_select_kernel import cell_select_p
+
+                    blk_p = gather_candidate_blocks(p[0], cell_ctx[0])
+                    p_r_flat = cell_select_p(blk_p, cell_ctx[1], p[0]
+                                             ).reshape(-1, 3).astype(self.dtype)
+                else:
+                    p_r_flat = ((index_points(p, knn_idx) - p[..., None, :])
+                                .reshape(-1, 3).astype(self.dtype))
             for j in range(1, self.blocks[i]):
                 x = PointTransformerBlock(
                     self.planes[i], self.share_planes, self.dtype,
                     name=f"enc{i + 1}_block{j}")(p, x, knn_idx, mask, train,
-                                                 p_r_flat)
+                                                 p_r_flat, cell_ctx)
             stages.append({"p": p, "x": x, "mask": mask, "knn_idx": knn_idx,
-                           "p_r_flat": p_r_flat})
+                           "p_r_flat": p_r_flat, "cell_ctx": cell_ctx})
 
         # ---------------- decoder ----------------
         # topmost: bottleneck TransitionUp (is_head) + 1 block
@@ -421,7 +472,7 @@ class PointTransformerSeg(nn.Module):
         x = PointTransformerBlock(
             self.planes[bn - 1], self.share_planes, self.dtype,
             name=f"dec{bn}_block1")(top["p"], x, top["knn_idx"], top["mask"],
-                                    train, top["p_r_flat"])
+                                    train, top["p_r_flat"], top["cell_ctx"])
         up_x = [None] * bn
         up_x[bn - 1] = x
         for i in range(bn - 2, -1, -1):
@@ -433,7 +484,7 @@ class PointTransformerSeg(nn.Module):
             x = PointTransformerBlock(
                 self.planes[i], self.share_planes, self.dtype,
                 name=f"dec{i + 1}_block1")(lo["p"], x, lo["knn_idx"], lo["mask"],
-                                           train, lo["p_r_flat"])
+                                           train, lo["p_r_flat"], lo["cell_ctx"])
             up_x[i] = x
 
         up_stages = [{"p": stages[i]["p"], "x": up_x[i], "mask": stages[i]["mask"],

@@ -73,6 +73,7 @@ def _pt_backbone_params(mp: dict) -> dict:
         blocks=tuple(mp.get("blocks", (2, 3, 4, 6, 3))),
         block_num=mp.get("block_num", 5),
         dtype=jnp.dtype(mp.get("dtype", "float32")),
+        cell_attention=mp.get("cell_attention", False),
     )
 
 

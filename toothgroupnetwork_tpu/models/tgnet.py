@@ -107,12 +107,18 @@ class TGNet(nn.Module):
     blocks: tuple = (2, 3, 4, 6, 3)
     block_num: int = 5
     dtype: jnp.dtype = jnp.float32
+    # super-row candidate gathers on the full-res stage-1 backbone (eval-mode;
+    # requires a spatially sorted input cloud — see PointTransformerSeg)
+    cell_attention: bool = False
 
     def setup(self):
         kw = dict(c=self.c, planes=self.planes, stride=self.stride,
                   nsample=self.nsample, blocks=self.blocks,
-                  block_num=self.block_num, dtype=self.dtype)
+                  block_num=self.block_num, dtype=self.dtype,
+                  cell_attention=self.cell_attention)
         self.first_ins_cent_model = PointTransformerSeg(k=10, name="first", **kw)
+        # the crop stage runs batched (B*K crops) — cell path self-disables
+        # there (B != 1), so sharing the flag is harmless
         self.second_ins_cent_model = PointTransformerSeg(k=2, name="second", **kw)
 
     def __call__(self, feat, mask=None, train: bool = True, labels=None):

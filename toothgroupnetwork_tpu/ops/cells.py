@@ -116,6 +116,16 @@ def build_cell_candidates(knn_idx: jnp.ndarray, n_slots: int):
     return cand, pos.reshape(n, k).astype(jnp.int32), n_cells
 
 
+def pos_with_self_fallback(pos: jnp.ndarray, l8: int) -> jnp.ndarray:
+    """Map dump positions (overflowed candidate cells) to the SELF slot
+    (column 0 under ``include_self=True`` kNN — the query's own cell is a
+    candidate by construction, so ``pos[:, 0] < l8`` except in pathological
+    overflow). The affected <2% of neighbor slots then re-weight the self
+    point instead of silently zeroing — the same graceful degradation as an
+    approx_max_k candidate miss."""
+    return jnp.where(pos < l8, pos, pos[:, :1])
+
+
 @partial(jax.jit, static_argnames=())
 def gather_candidate_blocks(x: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
     """Gather candidate SUPER-ROWS: ``x [N, C]`` + ``cand [G, L]`` →

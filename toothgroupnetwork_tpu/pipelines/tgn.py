@@ -70,6 +70,20 @@ def _aggregate_crop_votes(sem2: np.ndarray, crop_idx: np.ndarray,
     return np.argmax(votes, axis=1)
 
 
+def _device_votes(sem2, crop_idx, crop_valid, n_points: int):
+    """Device-side crop-vote aggregation (same contract as
+    ``_aggregate_crop_votes``): scatter-add each valid crop's FG/BG logits onto
+    its source points, argmax. Runs INSIDE the stage-2 program so the pipeline
+    fetches one [N] int32 mask instead of the [16, crop_size, 2] logit tensor
+    (plus saves the host add.at loop, which runs under the GIL during
+    ``run_many`` overlap)."""
+    w = crop_valid[:, None, None].astype(jnp.float32)
+    contrib = (sem2.astype(jnp.float32) * w).reshape(-1, 2)
+    votes = jnp.zeros((n_points, 2), jnp.float32
+                      ).at[crop_idx.reshape(-1)].add(contrib)
+    return jnp.argmax(votes, axis=1).astype(jnp.int32)
+
+
 class TgnInferencePipeline:
     def __init__(self, fps_ckpt: str, bdl_ckpt: str, config=None,
                  bdl_arch: dict | None = None, n_sample: int = N_SAMPLE,
@@ -77,8 +91,18 @@ class TgnInferencePipeline:
         from ..models import get_task
         from ..train.checkpoints import load_weights
 
+        import copy
+
         task = get_task("tgnet_fps")
-        cfg = config or task.default_config()
+        cfg = copy.deepcopy(config) if config else task.default_config()
+        # super-row attention gathers (ops/cells.py): measured SLOWER than the
+        # XLA gathers at the flagship shapes (bdl 42.6 -> 75.8 ms, fps 71.1 ->
+        # 92.1 ms — the one-hot select matmuls cost more than the row gathers
+        # they replace at bf16), so OFF by default; the machinery stays tested
+        # and opt-in via model_parameter for larger-k/wider-C regimes. The
+        # pipeline still spatially sorts its clouds (harmless, and required
+        # if the flag is enabled).
+        cfg.model_parameter.setdefault("cell_attention", False)
         self.crop_size = cfg.model_parameter.get("crop_sample_size", 3072)
         self.n_sample = n_sample
         # boundary_sampling_info defaults (train_configs/tgnet_bdl.py:40-44)
@@ -88,9 +112,13 @@ class TgnInferencePipeline:
 
         self.fps_module = task.build_module(cfg)
         # bdl module arch (train_configs/tgnet_bdl.py model_parameter)
-        bdl_arch = bdl_arch or dict(planes=(16, 32), stride=(1, 1),
-                                    nsample=(36, 24), blocks=(2, 3), block_num=2)
+        bdl_arch = dict(bdl_arch or dict(planes=(16, 32), stride=(1, 1),
+                                         nsample=(36, 24), blocks=(2, 3),
+                                         block_num=2))
+        bdl_arch.setdefault("cell_attention",
+                            cfg.model_parameter["cell_attention"])
         self.bdl_module = TGNet(crop_size=self.crop_size, c=6, **bdl_arch)
+        self._spatial_sort = bool(cfg.model_parameter["cell_attention"])
 
         key = jax.random.PRNGKey(0)
         feat = jnp.zeros((1, n_sample, 6), jnp.float32)
@@ -111,20 +139,32 @@ class TgnInferencePipeline:
 
         def stage2(module, variables, feats, cents, valid):
             # crops built IN the same program: a separate make_crops dispatch
-            # costs an extra ~25 ms tunnel round trip per stage
+            # costs an extra ~25 ms tunnel round trip per stage. Vote
+            # aggregation also on-device: one [N] int32 fetch.
             crops, crop_mask, crop_idx, _ = make_crops(
                 feats, cents, valid, self.crop_size)
             out = module.apply(variables, crops, crop_mask, method=TGNet.stage2)
-            return out["sem_1"], crop_idx[0]  # the crop model's 2-class head
+            return _device_votes(out["sem_1"], crop_idx[0], valid[0],
+                                 feats.shape[1])
+
+        def bdl_fused(feats, cents, valid):
+            # The bdl model's crop centroids come from the HOST-known pseudo
+            # labels (not from its stage-1 output), so stage 1 + crops +
+            # stage 2 + votes fuse into ONE dispatch with one fetch — the
+            # two-dispatch structure the fps model needs (host DBSCAN between
+            # stages) is pure overhead here (~2 tunnel round trips saved).
+            out1 = self.bdl_module.apply(self.bdl_vars, feats, None,
+                                         method=TGNet.stage1)
+            moved = feats[0, :, :3] + out1["offset_1"][0]
+            whole_mask = stage2(self.bdl_module, self.bdl_vars, feats,
+                                cents, valid)
+            return moved, whole_mask
 
         self._fps_stage1 = jax.jit(
             lambda f: stage1(self.fps_module, self.fps_vars, f))
         self._fps_stage2 = jax.jit(
             lambda f, c, v: stage2(self.fps_module, self.fps_vars, f, c, v))
-        self._bdl_stage1 = jax.jit(
-            lambda f: stage1(self.bdl_module, self.bdl_vars, f))
-        self._bdl_stage2 = jax.jit(
-            lambda f, c, v: stage2(self.bdl_module, self.bdl_vars, f, c, v))
+        self._bdl_fused = jax.jit(bdl_fused)
 
         # Per-phase wall time of the LAST COMPLETED __call__, seconds
         # (SURVEY.md §5 tracing/profiling — the reference pipeline has no
@@ -141,55 +181,86 @@ class TgnInferencePipeline:
         return now
 
     # ------------------------------------------------------------------
-    def _run_stage(self, stage1_fn, stage2_fn, feats_np, crop_centroids_from,
-                   tag: str, timings: dict):
-        """Shared stage runner: forward, host centroids, crops, crop votes."""
+    def _run_fps_stage(self, feats_np, crop_centroids_from, timings: dict):
+        """fps-model stage runner: stage-1 forward + fetch (the host DBSCAN
+        between the stages forces this sync point), host centroids, then the
+        stage-2 program (crops + forward + on-device vote aggregation) with a
+        single [N] int32 fetch."""
         t0 = time.perf_counter()
         feats = jnp.asarray(feats_np[None])
-        cls_1, offset_1 = stage1_fn(feats)
+        cls_1, offset_1 = self._fps_stage1(feats)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
         cls_1, offset_1 = jax.device_get((cls_1[0], offset_1[0]))
-        t0 = self._t(timings, f"{tag}:stage1_device", t0)
+        t0 = self._t(timings, "fps:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
         centroids = crop_centroids_from(cls_1, moved, xyz)
-        t0 = self._t(timings, f"{tag}:host_centroids", t0)
-        cents, valid, valid_h = _pad_centroids(centroids)
-        sem_2, crop_idx_h = jax.device_get(stage2_fn(feats, cents, valid))
-        t0 = self._t(timings, f"{tag}:stage2_device", t0)
-        whole_mask = _aggregate_crop_votes(
-            sem_2, crop_idx_h, valid_h[0], len(feats_np))
-        self._t(timings, f"{tag}:host_votes", t0)
-        return cls_1, offset_1, moved, whole_mask
+        t0 = self._t(timings, "fps:host_centroids", t0)
+        cents, valid, _ = _pad_centroids(centroids)
+        whole_mask = np.asarray(
+            jax.device_get(self._fps_stage2(feats, cents, valid)))
+        self._t(timings, "fps:stage2_device", t0)
+        return cls_1, moved, whole_mask
 
-    def run_many(self, stl_paths, workers: int = 3, prep_workers: int = 2):
+    def run_many(self, stl_paths, workers: int = 3,
+                 prep_workers: int | None = None):
         """Overlapped multi-scan inference: ``workers`` scans in flight so one
         scan's host phases (clustering, boundary resample, fusion) run while
-        another's device stages occupy the TPU, and mesh prep (obj parse,
-        dedup, normals — the heaviest pure-host phase) is PREFETCHED in
-        ``prep_workers`` spawned worker processes: true parallelism past the
-        GIL, importing only the JAX-free ``data.scan_prep`` module so workers
-        never touch the TPU tunnel. Returns results in input order.
+        another's device stages occupy the TPU; mesh prep (obj parse, dedup,
+        normals — the heaviest pure-host phase) can additionally be PREFETCHED
+        in ``prep_workers`` spawned worker processes (true parallelism past
+        the GIL; workers import only the JAX-free ``data.scan_prep`` module so
+        they never touch the TPU). ``prep_workers`` defaults to
+        ``cpu_count - 1``: on a single-core host extra processes only add IPC
+        + spawn cost (measured 2.5 s/scan vs 1.0 thread-only), so the pool is
+        used only when spare cores exist. The pool PERSISTS on the pipeline
+        across calls (spawn+import costs ~2 s/worker — amortized, not paid per
+        batch); call ``close()`` to reap it. Returns results in input order.
 
         The reference pipeline is strictly serial per scan
         (inference_pipeline_tgn.py:20-60); this is the TPU-serving analog of
         its batch loop. ``self.timings`` reflects the last COMPLETED scan.
         """
-        import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
 
+        if prep_workers is None:
+            prep_workers = max(0, min(2, (_os.cpu_count() or 1) - 1))
         if prep_workers <= 0:
             with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
                 return list(ex.map(self, stl_paths))
 
+        pp = self._prep_pool(prep_workers)
+        futs = [pp.submit(prep_scan_host_tgn, p, self.n_sample)
+                for p in stl_paths]
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            return list(ex.map(
+                lambda pf: self(pf[0], _prep=pf[1].result()),
+                zip(stl_paths, futs)))
+
+    def _prep_pool(self, prep_workers: int):
+        """Persistent spawn-context prep pool, warmed on first use (the
+        workers' numpy/scipy imports happen at warmup, not under the first
+        batch's timing)."""
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = getattr(self, "_pool", None)
+        if pool is not None and self._pool_size == prep_workers:
+            return pool
+        self.close()
         ctx = mp.get_context("spawn")  # fork would clone the TPU client state
-        with ProcessPoolExecutor(prep_workers, mp_context=ctx) as pp:
-            futs = [pp.submit(prep_scan_host_tgn, p, self.n_sample)
-                    for p in stl_paths]
-            with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-                return list(ex.map(
-                    lambda pf: self(pf[0], _prep=pf[1].result()),
-                    zip(stl_paths, futs)))
+        pool = ProcessPoolExecutor(prep_workers, mp_context=ctx)
+        from ..data import scan_prep
+        list(pool.map(scan_prep.warm_worker, range(prep_workers)))
+        self._pool, self._pool_size = pool, prep_workers
+        return pool
+
+    def close(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __call__(self, stl_path: str, _prep=None) -> dict:
         timings: dict[str, float] = defaultdict(float)
@@ -199,6 +270,13 @@ class TgnInferencePipeline:
         org_feats, bdl_feats = _prep or prep_scan_host_tgn(stl_path,
                                                            self.n_sample)
         sampled = fps_sample(bdl_feats, self.n_sample).astype(np.float32)
+        if self._spatial_sort:
+            # sorted-cell locality for the super-row attention path; every
+            # downstream consumer is order-consistent (labels/offsets/masks
+            # all align with this array's rows)
+            from ..ops.cells import spatial_sort_perm
+
+            sampled = sampled[spatial_sort_perm(sampled[:, :3])]
         n_vertices = org_feats.shape[0]
         t0 = self._t(timings, "mesh_prep", t0)
 
@@ -209,9 +287,8 @@ class TgnInferencePipeline:
             return [fg_moved[fg_labels == i].mean(axis=0)
                     for i in np.unique(fg_labels)]
 
-        cls_1, offset_1, moved, whole_mask = self._run_stage(
-            self._fps_stage1, self._fps_stage2, sampled, fps_centroids, "fps",
-            timings)
+        cls_1, moved, whole_mask = self._run_fps_stage(
+            sampled, fps_centroids, timings)
         t0 = time.perf_counter()  # cls_1: half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
@@ -227,18 +304,21 @@ class TgnInferencePipeline:
             ins_labels, bdl_feats, sampled,
             bdl_ratio=self.boundary_info["bdl_ratio"],
             num_bdl_points=self.boundary_info["num_of_bdl_points"],
-            num_all_points=self.boundary_info["num_of_all_points"])
+            num_all_points=self.boundary_info["num_of_all_points"],
+            spatial_sort=self._spatial_sort)
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
         t0 = self._t(timings, "host_boundary_resample", t0)
 
-        def bdl_centroids(cls_1b, moved_b, xyz_b):
-            return [xyz_b[pseudo_in == i].mean(axis=0)
-                    for i in np.unique(pseudo_in) if i != -1]
-
-        _, offset_1b, moved_b, whole_mask_b = self._run_stage(
-            self._bdl_stage1, self._bdl_stage2, bdl_sampled, bdl_centroids,
-            "bdl", timings)
-        t0 = time.perf_counter()
+        # bdl crop centroids come from the pseudo labels (host-known BEFORE
+        # the forward), so the whole bdl pass is one fused dispatch + fetch
+        xyz_b = bdl_sampled[:, :3]
+        bdl_cents = [xyz_b[pseudo_in == i].mean(axis=0)
+                     for i in np.unique(pseudo_in) if i != -1]
+        cents_b, valid_b, _ = _pad_centroids(bdl_cents)
+        moved_b, whole_mask_b = jax.device_get(self._bdl_fused(
+            jnp.asarray(bdl_sampled[None]), cents_b, valid_b))
+        moved_b, whole_mask_b = np.asarray(moved_b), np.asarray(whole_mask_b)
+        t0 = self._t(timings, "bdl:fused_device", t0)
 
         n_clusters = len(np.unique(pseudo_in)) - 1
         bdl_ins = np.zeros(len(bdl_sampled)) - 1

@@ -99,6 +99,7 @@ def boundary_sampled_feats(
     num_bdl_points: int = 20000,
     num_all_points: int = 24000,
     rng: np.random.Generator | None = None,
+    spatial_sort: bool = False,
 ):
     """Returns (feats [num_all_points, 6], pseudo_labels [num_all_points],
     n_boundary) — boundary points first, matching the reference's concat order
@@ -136,6 +137,20 @@ def boundary_sampled_feats(
                             need - non_bd_feats.shape[0])
         idx = np.concatenate([np.arange(non_bd_feats.shape[0]), reps])
     non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
+
+    if spatial_sort:
+        # sort WITHIN each segment (boundary block, then rest) so the
+        # boundary-first concat contract ([:n_bd] slicing downstream) is
+        # preserved while the cloud gains the sorted-cell locality the
+        # super-row attention path needs (ops/cells.py)
+        from ..ops.cells import spatial_sort_perm
+
+        if bd_feats.shape[0]:
+            o = spatial_sort_perm(bd_feats[:, :3])
+            bd_feats, bd_labels = bd_feats[o], bd_labels[o]
+        if non_bd_feats.shape[0]:
+            o = spatial_sort_perm(non_bd_feats[:, :3])
+            non_bd_feats, non_bd_labels = non_bd_feats[o], non_bd_labels[o]
 
     feats = np.concatenate([bd_feats, non_bd_feats], axis=0)
     labels = np.concatenate([bd_labels, non_bd_labels], axis=0)
