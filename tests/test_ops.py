@@ -505,3 +505,90 @@ class TestCellSelectKernel:
         np.testing.assert_array_equal(
             np.asarray(xg.astype(jnp.float32)),
             want.astype(np.float32))
+
+
+class TestTwoLevelKNN:
+    """ops/knn.py:knn_two_level — anchor-bucketed kNN (built for the purity
+    query; measured GATHER-bound and off-path there — see the op docstring —
+    but kept as a contract-tested op for moderate-M call sites). Asserts
+    recall vs the exact kNN on an FPS-ordered clustered cloud, and exact-d2
+    semantics."""
+
+    def _fps_ordered_cloud(self, rng, n=4096):
+        # clustered "teeth + gingiva" cloud, then FPS-order it so the anchor
+        # prefix contract matches the pipeline's sampled clouds
+        import jax
+
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+
+        centers = rng.uniform(-0.7, 0.7, (14, 3)).astype(np.float32)
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.05, (n // 16, 3)) for c in centers]
+            + [rng.uniform(-0.8, 0.8, (n - 14 * (n // 16), 3))], 0
+        ).astype(np.float32)
+        order = np.asarray(farthest_point_sample(jnp.asarray(pts), n))
+        return pts[order]
+
+    def test_recall_and_exact_d2(self, rng):
+        """Pipeline-proportional config: the purity RATIO call site runs
+        A=2048, C=512, P=1 against N=24000 (one anchor cell ~12 points,
+        candidates cover ~43 cells around the query; k>1 must use P=1 — see
+        the duplicate note in knn_two_level). Mirrored here at N=6000, A=512,
+        C=512 (11.7 points/cell, same coverage)."""
+        from toothgroupnetwork_tpu.ops.knn import knn_two_level
+
+        n = 6000
+        pts = self._fps_ordered_cloud(rng, n)
+        q = (pts[rng.permutation(n)[:2000]]
+             + rng.normal(0, 0.01, (2000, 3)).astype(np.float32))
+        k = 40
+        idx, d2 = knn_two_level(jnp.asarray(q), jnp.asarray(pts), k,
+                                n_anchors=512, n_cand=512, n_probe=1)
+        # exact reference
+        full = ((q[:, None] - pts[None]) ** 2).sum(-1)
+        exact = np.argsort(full, axis=1, kind="stable")[:, :k]
+        recall = np.mean([
+            len(set(np.asarray(idx)[i]) & set(exact[i])) / k
+            for i in range(len(q))])
+        assert recall > 0.999, recall
+        # d2 within the candidate set is exact f32 subtraction
+        np.testing.assert_allclose(
+            np.asarray(d2),
+            np.take_along_axis(full, np.asarray(idx), axis=1),
+            rtol=1e-5, atol=1e-7)
+        # ascending order
+        assert np.all(np.diff(np.asarray(d2), axis=1) >= -1e-7)
+
+    def test_nn1_exact_match_pipeline_scale(self, rng):
+        """The purity 1-NN label becomes boundary points' OUTPUT semantics
+        (postprocess/boundary.py) — validate nn1 agreement against the exact
+        KD-tree at the REAL call-site scale and config (52k full-res queries
+        x 24000 FPS-ordered reference, A=2048 C=512 P=2)."""
+        from scipy.spatial import cKDTree
+
+        from toothgroupnetwork_tpu.ops.knn import knn_two_level
+
+        pts = self._fps_ordered_cloud(rng, 24000)
+        # queries: surface-like (near reference points), the org-vertex case
+        base = pts[rng.integers(0, 24000, 52000)]
+        q = (base + rng.normal(0, 0.008, base.shape)).astype(np.float32)
+        idx, d2 = knn_two_level(jnp.asarray(q), jnp.asarray(pts), 1,
+                                n_anchors=2048, n_cand=512, n_probe=2)
+        tree = cKDTree(pts)
+        td, tnn = tree.query(q, k=1)
+        got = np.asarray(idx)[:, 0]
+        # identical point (or an exact distance tie)
+        same = (got == tnn) | np.isclose(np.asarray(d2)[:, 0], td ** 2,
+                                         rtol=1e-5, atol=1e-7)
+        assert same.mean() == 1.0, same.mean()
+
+    def test_p_mask(self, rng):
+        from toothgroupnetwork_tpu.ops.knn import knn_two_level
+
+        pts = rng.standard_normal((512, 3)).astype(np.float32)
+        q = pts[:64] + 1e-4
+        valid = np.ones(512, bool)
+        valid[::2] = False
+        idx, _ = knn_two_level(jnp.asarray(q), jnp.asarray(pts), 8,
+                               jnp.asarray(valid), n_anchors=128, n_cand=64)
+        assert np.all(np.asarray(idx) % 2 == 1)

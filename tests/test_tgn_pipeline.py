@@ -83,6 +83,40 @@ class TestBoundaryResample:
         # boundary points concentrate near x = 0
         assert np.abs(out_feats[:n_bd, 0]).mean() < np.abs(feats[:, 0]).mean()
 
+    def test_device_purity_matches_kdtree(self, rng):
+        """_purity_device_fn (the TPU path, gated off on CPU-size inputs)
+        must agree with the host KD-tree path: identical nn1 labels, ratio
+        within the two-level candidate-recall tolerance. Exercised directly
+        since the pipeline's CPU runs never enter it."""
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+        from toothgroupnetwork_tpu.postprocess.boundary import \
+            _purity_device_fn
+        from toothgroupnetwork_tpu.postprocess.clustering import \
+            first_label_ratio
+
+        centers = rng.uniform(-0.6, 0.6, (14, 3)).astype(np.float32)
+        org = np.concatenate(
+            [c + rng.normal(0, 0.05, (1500, 3)) for c in centers],
+            0).astype(np.float32)
+        order = np.asarray(farthest_point_sample(jnp.asarray(org), 4000))
+        sampled = org[order]                      # FPS-ordered, as in-pipeline
+        labels = rng.integers(0, 17, 4000).astype(np.int32)
+
+        k = 40
+        ratio_d, nn1_d = _purity_device_fn(
+            jnp.asarray(org), jnp.asarray(sampled), jnp.asarray(labels), k)
+        tree = cKDTree(sampled)
+        _, nn = tree.query(org, k=k, workers=-1)
+        ratio_h = first_label_ratio(labels[nn])
+        nn1_h = labels[nn[:, 0]]
+
+        np.testing.assert_array_equal(np.asarray(nn1_d), nn1_h)
+        # ratio: at most 1/40 off per missed candidate; mean much tighter
+        assert np.abs(np.asarray(ratio_d) - ratio_h).mean() < 0.002
+
 
 class TestFusion:
     def _arch(self, rng):

@@ -58,7 +58,7 @@ def main():
         f = jax.jit(purity_fn(chunk))
         # warmup/compile
         r = jax.block_until_ready(f(org_d, samp_d, lab_d))
-        t = chained_time(lambda o: f(o, samp_d, lab_d)[0], org_d, n_iter=8)
+        t = chained_time(lambda o: f(o, samp_d, lab_d)[0], org_d, iters=8)
         print(f"chunk={chunk:6d}: {t * 1e3:7.1f} ms chained", flush=True)
 
     # upload-inclusive wall (the per-scan reality: org cloud uploaded fresh)

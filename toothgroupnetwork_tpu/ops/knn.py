@@ -273,6 +273,113 @@ def finalize_selection(query: jnp.ndarray, points: jnp.ndarray,
     return idx.astype(jnp.int32), dist
 
 
+@partial(jax.jit, static_argnames=("k", "n_anchors", "n_cand", "n_probe",
+                                   "anchor_mode"))
+def knn_two_level(
+    query: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    p_mask: jnp.ndarray | None = None,
+    *,
+    n_anchors: int = 2048,
+    n_cand: int = 512,
+    n_probe: int = 1,
+    anchor_mode: str = "prefix",
+):
+    """Anchor-bucketed approximate kNN for LARGE query sets against a
+    moderate reference cloud — ``[M, 3] x [N, 3] -> (idx, d2) [M, k]``.
+
+    The flat path (``knn_points``) materializes the full ``[M, N]`` distance
+    matrix: at the pipeline's purity query (104k x 24k, k=40) that is ~10 GB
+    of HBM traffic — measured 109 ms chained, 4x the bandwidth floor. This
+    routine never forms it. STATUS at that call site: the per-query candidate
+    re-score (step 3) is GATHER-bound, and at M ~ 100k the per-coordinate
+    [M, P*C] gathers lower to a scalar-indexed form that measured ~50x slower
+    than the flat path — purity therefore stays flat
+    (postprocess/boundary.py). The op is correct (contract-tested below the
+    pathological M) and suited to moderate-M queries where selection, not
+    gather, dominates:
+
+      1. assign each query to its ``n_probe`` nearest of ``n_anchors`` anchor
+         points (``anchor_mode="prefix"``: the FIRST ``n_anchors`` reference
+         points — callers pass FPS-ordered clouds, whose prefix IS a farthest-
+         point sample, i.e. the best possible anchor spread; pipelines/tgn.py
+         feeds exactly that. ``"strided"``: every (N/A)-th point, for sorted
+         or arbitrary-order clouds),
+      2. precompute each anchor's ``n_cand`` nearest reference points
+         (one small ``[A, N]`` selection),
+      3. re-score each query EXACTLY (direct f32 subtraction — no matmul
+         cancellation) against the union of its probed anchors' candidate
+         lists and take the top ``k``.
+
+    Approximation scope: candidate-set membership only — a true neighbor is
+    missed only if it lies outside the ``n_probe * n_cand`` candidates of the
+    query's nearest anchors (with the defaults: the ~32 nearest anchor cells
+    of ~12 points each; recall measured 1.0 at the pipeline shapes, see
+    tests/test_ops.py::TestTwoLevelKNN). Distances and order WITHIN the set
+    are exact (f32 direct subtraction), unlike the flat TPU path's
+    matmul-expansion precision — so the returned d2 of the true nearest is
+    exactly 0 for coincident points.
+
+    Returns squared distances (not sqrt) — both call sites consume d2/labels.
+    """
+    m = query.shape[0]
+    n = points.shape[0]
+    a = min(n_anchors, n)
+    c_eff = min(n_cand, n)
+    query = query.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+    if anchor_mode == "strided":
+        # spatially sorted (or arbitrary-order) clouds: a strided subset is
+        # stratified across the cloud; the prefix would be one spatial slab
+        anchors = points[::max(1, n // a)][:a]
+    else:
+        anchors = points[:a]
+
+    if p_mask is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    else:
+        bias = jnp.where(p_mask.astype(bool), 0.0, _BIG)
+
+    # 2. per-anchor candidate lists: [A, n_cand] (selection-precision is fine
+    # here — membership only; per-query scoring below is exact)
+    cd2 = _batched_sqdist(anchors[None], points[None])[0] + bias[None, :]
+    if _use_approx_topk() and n >= 1024 and c_eff <= 4096:
+        _, cand = jax.lax.approx_max_k(-cd2, c_eff, recall_target=0.95)
+    else:
+        _, cand = jax.lax.top_k(-cd2, c_eff)                    # [A, C]
+
+    # 1. anchor assignment (matmul-precision argmin is fine: a query near a
+    # cell border probes BOTH cells when n_probe >= 2)
+    ad2 = _batched_sqdist(query[None], anchors[None])[0]        # [M, A]
+    if n_probe == 1:
+        probe = jnp.argmin(ad2, axis=1)[:, None]                # [M, 1]
+    else:
+        _, probe = jax.lax.top_k(-ad2, n_probe)                 # [M, P]
+
+    # 3. exact re-score over the candidate union. Per-COORDINATE gathers: a
+    # row gather into [M, P*C, 3] would tile-pad the trailing dim 3 -> 128
+    # lanes (27 GB at the purity shape — observed OOM); three [M, P*C] f32
+    # planes tile perfectly.
+    cidx = cand[probe].reshape(m, n_probe * c_eff)              # [M, P*C]
+    d2 = jnp.take(bias, cidx)
+    for ci in range(query.shape[1]):
+        pc = jnp.take(points[:, ci], cidx)
+        d2 = d2 + (query[:, ci:ci + 1] - pc) ** 2
+    # NOTE: with n_probe > 1 the candidate union may contain duplicates, and
+    # a duplicated point can occupy several top-k slots. Both call sites are
+    # immune (purity: n_probe=1; 1-NN transfer: k=1); a per-query dedup would
+    # cost an [M, P*C, P*C] comparison — do not add one casually.
+    keff = min(k, n_probe * c_eff)
+    neg, pos = jax.lax.top_k(-d2, keff)
+    idx = jnp.take_along_axis(cidx, pos, axis=1)
+    d2k = jnp.maximum(-neg, 0.0)
+    if keff < k:
+        idx = jnp.concatenate([idx] + [idx[:, -1:]] * (k - keff), axis=1)
+        d2k = jnp.concatenate([d2k] + [d2k[:, -1:]] * (k - keff), axis=1)
+    return idx.astype(jnp.int32), d2k
+
+
 def knn(query, points, k, q_mask=None, p_mask=None, **kw):
     """Alias of :func:`knn_points`."""
     return knn_points(query, points, k, q_mask, p_mask, **kw)
