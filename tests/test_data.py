@@ -280,3 +280,41 @@ class TestSubdivide:
         v2, f2 = subdivide_midpoint(verts, faces)
         assert len(v2) == 4 + 5  # 5 unique edges
         assert len(f2) == 8
+
+
+class TestDedupVertices:
+    """scan_prep.dedup_vertices — the lexsort grouping must match the
+    np.unique(axis=0) contract it replaced (first-occurrence order, faces
+    remapped)."""
+
+    def test_matches_np_unique(self, rng):
+        from toothgroupnetwork_tpu.data.scan_prep import dedup_vertices
+
+        base = rng.standard_normal((500, 3)).astype(np.float32)
+        dup_idx = rng.integers(0, 500, 300)
+        verts = np.concatenate([base, base[dup_idx]], 0)
+        perm = rng.permutation(len(verts))
+        verts = verts[perm]
+        faces = rng.integers(0, len(verts), (400, 3))
+
+        v2, f2 = dedup_vertices(verts, faces)
+
+        _, first_idx, inverse = np.unique(verts, axis=0, return_index=True,
+                                          return_inverse=True)
+        order = np.argsort(first_idx)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        want_v = verts[np.sort(first_idx)]
+        want_f = rank[inverse][faces]
+
+        np.testing.assert_array_equal(v2, want_v)
+        np.testing.assert_array_equal(f2, want_f)
+
+    def test_no_duplicates_identity(self, rng):
+        from toothgroupnetwork_tpu.data.scan_prep import dedup_vertices
+
+        verts = rng.standard_normal((64, 3)).astype(np.float32)
+        faces = rng.integers(0, 64, (30, 3))
+        v2, f2 = dedup_vertices(verts, faces)
+        np.testing.assert_array_equal(v2, verts)
+        np.testing.assert_array_equal(f2, faces)

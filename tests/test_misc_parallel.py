@@ -393,3 +393,27 @@ class TestShardedEncoderStage:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x[0]),
                                    atol=1e-4)
+
+
+class TestCompileCache:
+    """ensure_compile_cache must be a strict no-op on CPU backends: XLA:CPU
+    serializes machine-feature-stamped AOT code, and stale entries hung the
+    8-virtual-device dryrun in an all-gather rendezvous (round 3)."""
+
+    def test_cpu_backend_noop(self, tmp_path, monkeypatch):
+        from toothgroupnetwork_tpu.utils.compile_cache import (
+            ensure_compile_cache)
+
+        monkeypatch.setenv("TGN_TPU_COMPILE_CACHE_DIR", str(tmp_path / "c"))
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        assert jax.default_backend() == "cpu"  # conftest pins cpu
+        assert ensure_compile_cache() is False
+        assert jax.config.jax_compilation_cache_dir in (None, "")
+        assert not (tmp_path / "c").exists()
+
+    def test_off_switch(self, monkeypatch):
+        from toothgroupnetwork_tpu.utils.compile_cache import (
+            ensure_compile_cache)
+
+        monkeypatch.setenv("TGN_TPU_COMPILE_CACHE", "off")
+        assert ensure_compile_cache() is False

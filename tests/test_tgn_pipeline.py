@@ -106,14 +106,18 @@ class TestBoundaryResample:
         labels = rng.integers(0, 17, 4000).astype(np.int32)
 
         k = 40
-        ratio_d, nn1_d = _purity_device_fn(
+        ratio_d, nn1_d, nn1_i, nn1_d2 = _purity_device_fn(
             jnp.asarray(org), jnp.asarray(sampled), jnp.asarray(labels), k)
         tree = cKDTree(sampled)
-        _, nn = tree.query(org, k=k, workers=-1)
+        dist, nn = tree.query(org, k=k, workers=-1)
         ratio_h = first_label_ratio(labels[nn])
         nn1_h = labels[nn[:, 0]]
 
         np.testing.assert_array_equal(np.asarray(nn1_d), nn1_h)
+        # the exact 1-NN byproduct the pipeline's final transfer reuses
+        np.testing.assert_array_equal(np.asarray(nn1_i), nn[:, 0])
+        np.testing.assert_allclose(np.asarray(nn1_d2), dist[:, 0] ** 2,
+                                   rtol=1e-4, atol=1e-9)
         # ratio: at most 1/40 off per missed candidate; mean much tighter
         assert np.abs(np.asarray(ratio_d) - ratio_h).mean() < 0.002
 

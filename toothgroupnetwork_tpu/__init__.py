@@ -15,3 +15,11 @@ Design principles (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# NOTE: the persistent XLA compilation cache is enabled lazily and ONLY for
+# TPU backends — see utils/compile_cache.py:ensure_compile_cache (called by
+# the pipelines and the Trainer). Enabling it at import time poisoned CPU
+# runs: XLA:CPU serializes machine-feature-stamped AOT code, and re-loading
+# it across processes tripped feature-mismatch loads and hung multi-device
+# collectives (the 8-virtual-device dryrun deadlocked in an all-gather
+# rendezvous).

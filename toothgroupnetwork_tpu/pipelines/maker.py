@@ -18,6 +18,9 @@ SEM_MODELS = ("pointnet", "pointnetpp", "dgcnn", "pointtransformer")
 
 
 def _load_forward(model_name: str, ckpt_path: str, config=None):
+    from ..utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()  # TPU-only persistent XLA cache (warm starts)
     task = get_task(model_name)
     cfg = config or task.default_config()
     module = task.build_module(cfg)

@@ -90,9 +90,11 @@ class TgnInferencePipeline:
                  boundary_info: dict | None = None):
         from ..models import get_task
         from ..train.checkpoints import load_weights
+        from ..utils.compile_cache import ensure_compile_cache
 
         import copy
 
+        ensure_compile_cache()  # TPU-only persistent XLA cache (warm starts)
         task = get_task("tgnet_fps")
         cfg = copy.deepcopy(config) if config else task.default_config()
         # super-row attention gathers (ops/cells.py): measured SLOWER than the
@@ -300,12 +302,13 @@ class TgnInferencePipeline:
         t0 = self._t(timings, "host_instancing", t0)
 
         # ---------------- boundary stage (bdl model) ----------------
-        bdl_sampled, pseudo_labels, n_bd = boundary_sampled_feats(
-            ins_labels, bdl_feats, sampled,
-            bdl_ratio=self.boundary_info["bdl_ratio"],
-            num_bdl_points=self.boundary_info["num_of_bdl_points"],
-            num_all_points=self.boundary_info["num_of_all_points"],
-            spatial_sort=self._spatial_sort)
+        bdl_sampled, pseudo_labels, n_bd, nn1_idx, nn1_d2 = \
+            boundary_sampled_feats(
+                ins_labels, bdl_feats, sampled,
+                bdl_ratio=self.boundary_info["bdl_ratio"],
+                num_bdl_points=self.boundary_info["num_of_bdl_points"],
+                num_all_points=self.boundary_info["num_of_all_points"],
+                spatial_sort=self._spatial_sort, return_nn1=True)
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
         t0 = self._t(timings, "host_boundary_resample", t0)
 
@@ -338,18 +341,25 @@ class TgnInferencePipeline:
         mod_ps, mod_sem = merge_boundary_clusters(
             first_xyz, ins_labels, new_sem, bdl_xyz, bdl_ps)
 
-        final_points = np.concatenate([first_xyz, bdl_xyz], axis=0)
         final_ins = np.concatenate([ins_labels, mod_ps], axis=0)
         final_sem = np.concatenate([new_sem, mod_sem], axis=0)
         t0 = self._t(timings, "host_fusion", t0)
 
         # ---------------- 1-NN transfer + FDI remap ----------------
-        # host KD-tree: measured 70 ms vs 143 ms for the device MXU variant at
-        # [100k x 48k] — 3D trees prune too well for brute-force distances
-        from scipy.spatial import cKDTree
+        # Decomposed 1-NN over the concat (same minimum, up to exact-distance
+        # tie-breaks): the org->SAMPLED half is the purity query's exact nn1
+        # byproduct (free — already fetched), so the host KD-tree only covers
+        # the <=20k boundary points instead of the 44k concat (the full-concat
+        # tree was 75-150 ms of single-core host time per scan; a flat device
+        # MXU variant measured 143 ms at [100k x 48k] — trees prune too well)
+        q = org_feats[:, :3]
+        nn = nn1_idx[:n_vertices].astype(np.int64)
+        if n_bd:
+            from scipy.spatial import cKDTree
 
-        tree = cKDTree(final_points)
-        _, nn = tree.query(org_feats[:, :3], k=1, workers=-1)
+            d_b, nn_b = cKDTree(bdl_xyz).query(q, k=1, workers=-1)
+            use_b = (d_b ** 2) < nn1_d2[:n_vertices]  # ties -> sampled side
+            nn = np.where(use_b, len(first_xyz) + nn_b, nn)
         result_ins = final_ins[nn.reshape(-1)]
         result_sem = final_sem[nn.reshape(-1)].copy()
         result_sem[result_sem >= 9] += 2

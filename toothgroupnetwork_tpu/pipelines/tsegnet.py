@@ -27,7 +27,9 @@ class TsegnetInferencePipeline:
                  crop_size: int | None = None):
         from ..models import get_task
         from ..train.checkpoints import load_weights
+        from ..utils.compile_cache import ensure_compile_cache
 
+        ensure_compile_cache()  # TPU-only persistent XLA cache (warm starts)
         task = get_task("tsegnet")
         cfg = config or task.default_config()
         self.n_sample = n_sample

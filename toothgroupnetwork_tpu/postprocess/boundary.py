@@ -53,11 +53,15 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
             d2 = jnp.sum(delta * delta, axis=-1)
             best = jnp.argmin(d2, axis=-1)                  # [Np]
             nn1 = jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0]
+            nn1_d2 = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
             nn1_lab = jnp.take(labels, nn1)
             lab = jnp.take(labels, idx.reshape(-1)).reshape(idx.shape)
             ratio = jnp.mean((lab == nn1_lab[:, None]).astype(jnp.float32),
                              axis=1)
-            return ratio, nn1_lab
+            # nn1/nn1_d2 let the pipeline SKIP re-solving org->sampled in its
+            # final 1-NN transfer (pipelines/tgn.py: the KD-tree then only
+            # covers the <=20k boundary points instead of the 44k concat)
+            return ratio, nn1_lab, nn1, nn1_d2
 
         _purity_device_jit = jax.jit(fn, static_argnames=("k",))
     return _purity_device_jit(org_xyz, sampled_xyz, labels, k=k)
@@ -65,11 +69,12 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                      point_labels: np.ndarray, k: int):
-    """Returns (first-label ratio [N], 1-NN label [N]). Device path on TPU
-    (bucketed query size, one compiled executable per size bucket); host
-    KD-tree elsewhere. The device 1-NN label is exact (narrow re-score in
-    _purity_device_fn); only the purity ratio's 40-neighbor MEMBERSHIP is
-    approx-selection (recall ~0.95), which the mean is insensitive to."""
+    """Returns (first-label ratio [N], 1-NN label [N], 1-NN index [N],
+    1-NN squared distance [N]). Device path on TPU (bucketed query size, one
+    compiled executable per size bucket); host KD-tree elsewhere. The device
+    1-NN is exact (narrow re-score in _purity_device_fn); only the purity
+    ratio's 40-neighbor MEMBERSHIP is approx-selection (recall ~0.95), which
+    the mean is insensitive to."""
     import jax
 
     n0 = org_xyz.shape[0]
@@ -80,15 +85,17 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         n_pad = -(-n0 // bucket) * bucket
         pad = np.zeros((n_pad, 3), np.float32)
         pad[:n0] = org_xyz
-        ratio, nn1_lab = jax.device_get(_purity_device_fn(
+        ratio, nn1_lab, nn1, nn1_d2 = jax.device_get(_purity_device_fn(
             jnp.asarray(pad), jnp.asarray(sampled_xyz),
             jnp.asarray(point_labels.astype(np.int32)), k))
-        return ratio[:n0], nn1_lab[:n0]
+        return ratio[:n0], nn1_lab[:n0], nn1[:n0], nn1_d2[:n0]
 
     tree = cKDTree(sampled_xyz)
-    _, nn = tree.query(org_xyz, k=k, workers=-1)
+    dist, nn = tree.query(org_xyz, k=k, workers=-1)
     nn = np.atleast_2d(nn)
-    return (first_label_ratio(point_labels[nn]), point_labels[nn[:, 0]])
+    dist = np.atleast_2d(dist)
+    return (first_label_ratio(point_labels[nn]), point_labels[nn[:, 0]],
+            nn[:, 0], (dist[:, 0] ** 2).astype(np.float32))
 
 
 def boundary_sampled_feats(
@@ -100,10 +107,14 @@ def boundary_sampled_feats(
     num_all_points: int = 24000,
     rng: np.random.Generator | None = None,
     spatial_sort: bool = False,
+    return_nn1: bool = False,
 ):
     """Returns (feats [num_all_points, 6], pseudo_labels [num_all_points],
     n_boundary) — boundary points first, matching the reference's concat order
-    (inference_pipeline_tgn.py:311-318).
+    (inference_pipeline_tgn.py:311-318). With ``return_nn1``, additionally
+    returns ``(nn1_idx [N], nn1_d2 [N])`` — each org vertex's exact nearest
+    SAMPLED point (index + squared distance), a free byproduct of the purity
+    query that the tgn pipeline reuses in its final 1-NN transfer.
 
     Args:
       point_labels: [M] instance labels of the sampled cloud (0 = gingiva).
@@ -112,7 +123,7 @@ def boundary_sampled_feats(
     """
     rng = rng or np.random.default_rng(0)
     k = min(40, sampled_feats.shape[0])
-    ratio, ps_labels = _boundary_purity(
+    ratio, ps_labels, nn1_idx, nn1_d2 = _boundary_purity(
         org_feats[:, :3].astype(np.float32), sampled_feats[:, :3], point_labels, k)
     bd_mask = ratio < bdl_ratio
 
@@ -154,4 +165,7 @@ def boundary_sampled_feats(
 
     feats = np.concatenate([bd_feats, non_bd_feats], axis=0)
     labels = np.concatenate([bd_labels, non_bd_labels], axis=0)
+    if return_nn1:
+        return (feats.astype(np.float32), labels, bd_feats.shape[0],
+                nn1_idx, nn1_d2)
     return feats.astype(np.float32), labels, bd_feats.shape[0]

@@ -70,8 +70,10 @@ class Trainer:
     def __init__(self, config, task: "ModelTask", train_loader,
                  val_loader, log_fn=print):
         from ..parallel.distributed import maybe_initialize
+        from ..utils.compile_cache import ensure_compile_cache
 
         maybe_initialize(config)  # multi-host DCN init when config enables it
+        ensure_compile_cache()  # TPU-only persistent XLA cache (warm starts)
         self.config = config
         self.task = task
         self.train_loader = train_loader
