@@ -90,6 +90,10 @@ class TrainConfig:
     wandb_project: str = "toothgroupnetwork-tpu"
     # data-parallel mesh: number of devices to shard the batch over (1 = single chip)
     data_parallel: int = 1
+    # elastic recovery: on an epoch failure (preempted device, OOM, flaky IO),
+    # restore the last checkpoint and retry up to this many times (0 = off —
+    # the reference contract: one unguarded loop, trainer.py:96-101)
+    elastic_retries: int = 0
     # multi-host pod-scale init (parallel/distributed.py)
     distributed: DistributedConfig = field(default_factory=DistributedConfig)
 

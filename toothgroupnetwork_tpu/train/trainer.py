@@ -219,33 +219,59 @@ class Trainer:
     def _weight(self, name: str) -> float:
         return self.config.loss_weights.get(name, 1.0)
 
-    def run(self, max_epochs: int | None = None):
-        """Epoch loop (reference trainer.py:96-101: infinite; bound it via config)."""
-        total = max_epochs if max_epochs is not None else self.config.max_epochs
-        for _ in range(total):
-            self.state = self.state.set_learning_rate(self.lr_fn(self.epoch))
-            t0 = time.perf_counter()
-            train_stats = self.train_epoch()
-            val_stats = self.eval_epoch()
-            dt = time.perf_counter() - t0
-            if isinstance(self.lr_fn, PlateauLR):
-                # plateau decays on the val metric (scheduler_factory.py:89-101)
-                self.lr_fn(self.epoch, metric=val_stats.get("total_val"))
-            stats = {**train_stats, **val_stats,
-                     "lr": self.lr_fn(self.epoch), "epoch_time_s": dt}
-            self.log(f"epoch {self.epoch}: " +
-                     " ".join(f"{k}={v:.5f}" for k, v in stats.items()))
-            if self.wandb:
-                self.wandb.log(stats, step=self.epoch)
+    def _run_one_epoch(self):
+        self.state = self.state.set_learning_rate(self.lr_fn(self.epoch))
+        t0 = time.perf_counter()
+        train_stats = self.train_epoch()
+        val_stats = self.eval_epoch()
+        dt = time.perf_counter() - t0
+        if isinstance(self.lr_fn, PlateauLR):
+            # plateau decays on the val metric (scheduler_factory.py:89-101)
+            self.lr_fn(self.epoch, metric=val_stats.get("total_val"))
+        stats = {**train_stats, **val_stats,
+                 "lr": self.lr_fn(self.epoch), "epoch_time_s": dt}
+        self.log(f"epoch {self.epoch}: " +
+                 " ".join(f"{k}={v:.5f}" for k, v in stats.items()))
+        if self.wandb:
+            self.wandb.log(stats, step=self.epoch)
 
-            save_train_checkpoint(self.config.checkpoint_path, self.state,
-                                  self.epoch)
-            if val_stats.get("total_val", float("inf")) < self.best_val:
-                self.best_val = val_stats["total_val"]
-                save_train_checkpoint(self.config.checkpoint_path + "_val",
-                                      self.state, self.epoch,
-                                      {"best_val": self.best_val})
-            self.epoch += 1
+        save_train_checkpoint(self.config.checkpoint_path, self.state,
+                              self.epoch)
+        if val_stats.get("total_val", float("inf")) < self.best_val:
+            self.best_val = val_stats["total_val"]
+            save_train_checkpoint(self.config.checkpoint_path + "_val",
+                                  self.state, self.epoch,
+                                  {"best_val": self.best_val})
+        self.epoch += 1
+
+    def run(self, max_epochs: int | None = None):
+        """Epoch loop (reference trainer.py:96-101: infinite; bound it via
+        config). With ``config.elastic_retries > 0``, an epoch failure
+        (preempted chip, flaky IO, transient OOM) restores the last
+        checkpoint and retries — full-state Orbax resume makes the recovery
+        exact up to the failed epoch's partial work."""
+        total = max_epochs if max_epochs is not None else self.config.max_epochs
+        end = self.epoch + total
+        failures = 0
+        while self.epoch < end:
+            try:
+                self._run_one_epoch()
+                failures = 0  # a completed epoch resets the retry budget
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                failures += 1
+                if failures > self.config.elastic_retries:
+                    raise
+                self.log(f"epoch {self.epoch} failed ({e!r}); restoring last "
+                         f"checkpoint and retrying "
+                         f"({failures}/{self.config.elastic_retries})")
+                try:
+                    self.resume()  # rolls state AND epoch back to last saved
+                except Exception:
+                    # nothing checkpointed yet: retry the epoch with the
+                    # current (partially-advanced) in-memory state
+                    self.log("no checkpoint to restore; retrying in place")
         return self.state
 
     def resume(self):
