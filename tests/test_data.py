@@ -318,3 +318,24 @@ class TestDedupVertices:
         v2, f2 = dedup_vertices(verts, faces)
         np.testing.assert_array_equal(v2, verts)
         np.testing.assert_array_equal(f2, faces)
+
+    def test_negative_zero_merges(self, rng):
+        """-0.0 and +0.0 bits differ but np.unique's comparisons treat them
+        as equal — the hash prefilter must not skip dedup for such rows."""
+        from toothgroupnetwork_tpu.data.scan_prep import dedup_vertices
+
+        verts = np.array([[0.0, 1.0, 2.0],
+                          [-0.0, 1.0, 2.0],   # duplicate of row 0 under ==
+                          [3.0, 4.0, 5.0]], np.float32)
+        faces = np.array([[0, 1, 2]])
+        v2, f2 = dedup_vertices(verts, faces)
+        assert len(v2) == 2
+        np.testing.assert_array_equal(f2, [[0, 0, 1]])
+
+    def test_float64_duplicates(self, rng):
+        from toothgroupnetwork_tpu.data.scan_prep import dedup_vertices
+
+        base = rng.standard_normal((100, 3))  # float64 (parse_obj dtype)
+        verts = np.concatenate([base, base[:30]], 0)
+        v2, f2 = dedup_vertices(verts, np.zeros((0, 3), np.int64))
+        assert len(v2) == 100

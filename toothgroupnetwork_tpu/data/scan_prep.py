@@ -51,6 +51,21 @@ def dedup_vertices(vertices: np.ndarray, faces: np.ndarray):
     n = vertices.shape[0]
     if n == 0:
         return vertices, faces
+    # Hash prefilter: indexed meshes (obj "v" lists) usually have NO duplicate
+    # rows, and proving that costs one u64 row-hash + sort (~10 ms at 100k) vs
+    # the full 3-key lexsort (~70 ms). Hash equality is NECESSARY for row
+    # equality (x+0.0 canonicalizes -0.0, whose bits differ but which
+    # np.unique's comparisons treat as equal), so all-hashes-distinct proves
+    # all-rows-distinct and the scan passes through untouched. Hash collisions
+    # or real duplicates just mean taking the exact path below.
+    canon = np.ascontiguousarray(vertices + 0.0)  # -0.0 -> +0.0, own buffer
+    bits = canon.view(np.uint64 if canon.itemsize == 8 else np.uint32)
+    cols = [bits[:, c].astype(np.uint64) for c in range(3)]
+    h = (cols[0] * np.uint64(0x9E3779B97F4A7C15)
+         ^ cols[1] * np.uint64(0xC2B2AE3D27D4EB4F)
+         ^ cols[2] * np.uint64(0x165667B19E3779F9))
+    if len(np.unique(h)) == n:
+        return vertices, faces
     order = np.lexsort((vertices[:, 2], vertices[:, 1], vertices[:, 0]))
     sv = vertices[order]
     is_head = np.empty(n, bool)
