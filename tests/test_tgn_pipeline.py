@@ -215,3 +215,30 @@ class TestTgnPipelineEndToEnd:
         for o in outs:
             np.testing.assert_array_equal(o["sem"], out["sem"])
             np.testing.assert_array_equal(o["ins"], out["ins"])
+
+
+class TestBdlNn1Device:
+    """pipelines/tgn.py:_bdl_nn1_fn — the device boundary-1-NN must match the
+    host cKDTree it replaces, including sentinel padding never winning."""
+
+    def test_matches_kdtree(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+
+        from toothgroupnetwork_tpu.pipelines.tgn import _bdl_nn1_fn
+
+        n_pad, n_bd, p_slots = 8192, 1500, 2048
+        q = rng.standard_normal((n_pad, 3)).astype(np.float32)
+        bdl = rng.standard_normal((n_bd, 3)).astype(np.float32)
+        # some queries coincide exactly with boundary points (d2 == 0)
+        q[:100] = bdl[:100]
+        pad = np.full((p_slots, 3), 1e6, np.float32)
+        pad[:n_bd] = bdl
+
+        idx, d2 = jax.device_get(_bdl_nn1_fn(jnp.asarray(q),
+                                             jnp.asarray(pad)))
+        dist, nn = cKDTree(bdl).query(q, k=1, workers=-1)
+        assert (idx < n_bd).all()  # sentinels never win
+        np.testing.assert_array_equal(idx, nn)
+        np.testing.assert_allclose(d2, dist ** 2, rtol=1e-4, atol=1e-9)
+        assert (d2[:100] == 0).all()

@@ -70,6 +70,49 @@ def _aggregate_crop_votes(sem2: np.ndarray, crop_idx: np.ndarray,
     return np.argmax(votes, axis=1)
 
 
+_bdl_nn1_jit = None
+
+
+def _bdl_nn1_fn(org_pad, bdl_pad):
+    """Exact 1-NN of every (padded) org vertex into the (padded) boundary
+    cloud, on device: ``[Npad, 3] x [P, 3] -> (idx [Npad], d2 [Npad])``.
+
+    Replaces the final transfer's host ``cKDTree(bdl_xyz).query(org)`` (~60-90
+    ms of single-core host time per scan) with ~10-20 ms of MXU distances,
+    reusing the org upload already resident from the purity query
+    (postprocess/boundary.py:_boundary_purity device_ctx). Chunked 4096 query
+    rows per ``lax.map`` step to bound the [chunk, P] distance tile; the
+    expansion-form distances pick top-4 candidates and a delta-form re-score
+    fixes near-tie ordering (same exactness scheme as _purity_device_fn).
+    Sentinel-padded bdl rows (1e6) never win. Jitted once at module scope —
+    one executable per (Npad bucket, P) pair."""
+    global _bdl_nn1_jit
+    if _bdl_nn1_jit is None:
+        def fn(q, p):
+            pn = jnp.sum(p * p, axis=-1)
+
+            def chunk(qc):
+                d2 = (jnp.sum(qc * qc, -1, keepdims=True)
+                      - 2.0 * jnp.matmul(qc, p.T,
+                                         precision=jax.lax.Precision.HIGHEST)
+                      + pn[None, :])
+                _, cand = jax.lax.top_k(-d2, 4)              # [C, 4]
+                delta = qc[:, None, :] - jnp.take(p, cand.reshape(-1), axis=0
+                                                  ).reshape(cand.shape + (3,))
+                d2x = jnp.sum(delta * delta, -1)
+                best = jnp.argmin(d2x, -1)
+                idx = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+                dd = jnp.take_along_axis(d2x, best[:, None], -1)[:, 0]
+                return idx.astype(jnp.int32), dd
+
+            qs = q.reshape(-1, 4096, 3)
+            idx, dd = jax.lax.map(chunk, qs)
+            return idx.reshape(-1), dd.reshape(-1)
+
+        _bdl_nn1_jit = jax.jit(fn)
+    return _bdl_nn1_jit(org_pad, bdl_pad)
+
+
 def _device_votes(sem2, crop_idx, crop_valid, n_points: int):
     """Device-side crop-vote aggregation (same contract as
     ``_aggregate_crop_votes``): scatter-add each valid crop's FG/BG logits onto
@@ -302,14 +345,26 @@ class TgnInferencePipeline:
         t0 = self._t(timings, "host_instancing", t0)
 
         # ---------------- boundary stage (bdl model) ----------------
+        device_ctx: dict = {}
         bdl_sampled, pseudo_labels, n_bd, nn1_idx, nn1_d2 = \
             boundary_sampled_feats(
                 ins_labels, bdl_feats, sampled,
                 bdl_ratio=self.boundary_info["bdl_ratio"],
                 num_bdl_points=self.boundary_info["num_of_bdl_points"],
                 num_all_points=self.boundary_info["num_of_all_points"],
-                spatial_sort=self._spatial_sort, return_nn1=True)
+                spatial_sort=self._spatial_sort, return_nn1=True,
+                device_ctx=device_ctx)
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
+        # boundary half of the final 1-NN transfer: dispatch NOW (device MXU,
+        # reusing the purity query's resident org upload) so it overlaps the
+        # host centroid/fusion work below; host cKDTree fallback otherwise
+        nn1_b_fut = None
+        if n_bd and "org_pad_dev" in device_ctx:
+            num_bdl = self.boundary_info["num_of_bdl_points"]
+            bdl_pad = np.full((num_bdl, 3), 1e6, np.float32)
+            bdl_pad[:n_bd] = bdl_sampled[:n_bd, :3]
+            nn1_b_fut = _bdl_nn1_fn(device_ctx["org_pad_dev"],
+                                    jnp.asarray(bdl_pad))
         t0 = self._t(timings, "host_boundary_resample", t0)
 
         # bdl crop centroids come from the pseudo labels (host-known BEFORE
@@ -352,12 +407,17 @@ class TgnInferencePipeline:
         # the <=20k boundary points instead of the 44k concat (the full-concat
         # tree was 75-150 ms of single-core host time per scan; a flat device
         # MXU variant measured 143 ms at [100k x 48k] — trees prune too well)
-        q = org_feats[:, :3]
         nn = nn1_idx[:n_vertices].astype(np.int64)
-        if n_bd:
+        if nn1_b_fut is not None:
+            nn_b, d_b2 = jax.device_get(nn1_b_fut)
+            nn_b = nn_b[:n_vertices].astype(np.int64)
+            use_b = d_b2[:n_vertices] < nn1_d2[:n_vertices]  # ties -> sampled
+            nn = np.where(use_b, len(first_xyz) + nn_b, nn)
+        elif n_bd:
             from scipy.spatial import cKDTree
 
-            d_b, nn_b = cKDTree(bdl_xyz).query(q, k=1, workers=-1)
+            d_b, nn_b = cKDTree(bdl_xyz).query(org_feats[:, :3], k=1,
+                                               workers=-1)
             use_b = (d_b ** 2) < nn1_d2[:n_vertices]  # ties -> sampled side
             nn = np.where(use_b, len(first_xyz) + nn_b, nn)
         result_ins = final_ins[nn.reshape(-1)]

@@ -68,13 +68,19 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
 
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
-                     point_labels: np.ndarray, k: int):
+                     point_labels: np.ndarray, k: int,
+                     device_ctx: dict | None = None):
     """Returns (first-label ratio [N], 1-NN label [N], 1-NN index [N],
     1-NN squared distance [N]). Device path on TPU (bucketed query size, one
     compiled executable per size bucket); host KD-tree elsewhere. The device
     1-NN is exact (narrow re-score in _purity_device_fn); only the purity
     ratio's 40-neighbor MEMBERSHIP is approx-selection (recall ~0.95), which
-    the mean is insensitive to."""
+    the mean is insensitive to.
+
+    ``device_ctx`` (optional dict) receives ``org_pad_dev`` — the padded query
+    cloud's DEVICE buffer — when the device path runs, so the pipeline's later
+    boundary-1-NN dispatch reuses the upload instead of re-transferring 1.2 MB
+    through the tunnel."""
     import jax
 
     n0 = org_xyz.shape[0]
@@ -85,8 +91,11 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         n_pad = -(-n0 // bucket) * bucket
         pad = np.zeros((n_pad, 3), np.float32)
         pad[:n0] = org_xyz
+        pad_dev = jnp.asarray(pad)
+        if device_ctx is not None:
+            device_ctx["org_pad_dev"] = pad_dev
         ratio, nn1_lab, nn1, nn1_d2 = jax.device_get(_purity_device_fn(
-            jnp.asarray(pad), jnp.asarray(sampled_xyz),
+            pad_dev, jnp.asarray(sampled_xyz),
             jnp.asarray(point_labels.astype(np.int32)), k))
         return ratio[:n0], nn1_lab[:n0], nn1[:n0], nn1_d2[:n0]
 
@@ -108,6 +117,7 @@ def boundary_sampled_feats(
     rng: np.random.Generator | None = None,
     spatial_sort: bool = False,
     return_nn1: bool = False,
+    device_ctx: dict | None = None,
 ):
     """Returns (feats [num_all_points, 6], pseudo_labels [num_all_points],
     n_boundary) — boundary points first, matching the reference's concat order
@@ -124,7 +134,8 @@ def boundary_sampled_feats(
     rng = rng or np.random.default_rng(0)
     k = min(40, sampled_feats.shape[0])
     ratio, ps_labels, nn1_idx, nn1_d2 = _boundary_purity(
-        org_feats[:, :3].astype(np.float32), sampled_feats[:, :3], point_labels, k)
+        org_feats[:, :3].astype(np.float32), sampled_feats[:, :3], point_labels,
+        k, device_ctx)
     bd_mask = ratio < bdl_ratio
 
     bd_feats = org_feats[bd_mask]
