@@ -125,6 +125,25 @@ class TestChunkedFPS:
         idx2 = fps_sample_idx_chunked(xyz, 2048)
         np.testing.assert_array_equal(idx, idx2)
 
+    def test_device_resident_matches_host(self, rng, monkeypatch):
+        """fps_sample_dev must return exactly fps_sample's rows for BOTH
+        dispatch modes (the device-side gather replaces the idx-fetch +
+        host-gather + re-upload round trips in the tgn pipeline)."""
+        from toothgroupnetwork_tpu.pipelines.base import (
+            fps_sample, fps_sample_dev)
+
+        feats = rng.standard_normal((40000, 6)).astype(np.float32)
+        for mode in ("exact", "chunked"):
+            monkeypatch.setenv("TGN_FPS_SAMPLE", mode)
+            want = fps_sample(feats, 2048)
+            got = np.asarray(fps_sample_dev(feats, 2048))
+            np.testing.assert_array_equal(got, want, err_msg=mode)
+        # small-cloud repeat path
+        monkeypatch.setenv("TGN_FPS_SAMPLE", "auto")
+        small = rng.standard_normal((100, 6)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(fps_sample_dev(small, 256)),
+                                      fps_sample(small, 256))
+
     def test_coverage_close_to_exact_fps(self, rng):
         """Coverage metric: the max distance from any cloud point to its
         nearest sample (the quantity FPS greedily minimizes). On a scan-like
@@ -237,6 +256,28 @@ class TestKNN:
         np.testing.assert_array_equal(idx[:, 0], np.arange(8300))
         np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
         assert (np.diff(dist, axis=-1) >= -1e-6).all()
+
+    def test_bf16_selection_set_recall(self, rng, monkeypatch):
+        # TGN_TPU_KNN_SEL=bf16: the selection matrix drops to bf16 for
+        # need_dist=False call sites (they consume the candidate SET only).
+        # Contract: high set overlap with the exact kNN; include_self
+        # invariants preserved.
+        monkeypatch.setenv("TGN_TPU_KNN", "approx")
+        monkeypatch.setenv("TGN_TPU_KNN_SEL", "bf16")
+        n, k = 4096, 16
+        p = rng.standard_normal((n, 3)).astype(np.float32)
+        idx, _ = knn_points(jnp.array(p), jnp.array(p), k, include_self=True,
+                            need_dist=False)
+        idx = np.asarray(idx)
+        np.testing.assert_array_equal(idx[:, 0], np.arange(n))
+
+        # exact reference in numpy (a second knn_points call with the same
+        # shapes would hit the jit cache and ignore the env change)
+        d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        eidx = np.argsort(d2, axis=1)[:, :k]
+        overlap = np.mean([len(set(a) & set(b)) / k
+                           for a, b in zip(idx, eidx)])
+        assert overlap > 0.9, overlap
 
     def test_include_self_batched(self, rng):
         p = rng.standard_normal((2, 40, 3)).astype(np.float32)

@@ -381,3 +381,46 @@ class TestElasticRecovery:
         trainer = Trainer(cfg, task, flaky, val_loader, log_fn=lambda s: None)
         with pytest.raises(RuntimeError, match="preemption"):
             trainer.run(max_epochs=2)
+
+
+@pytest.mark.slow
+class TestBf16Training:
+    """bfloat16 backbone-compute training (model_parameter["dtype"]) must
+    track the float32 loss curve — params, BN stats, and losses stay f32
+    (round-2 verdict item 4: bf16 body halves the HBM traffic that dominates
+    the 24k train step)."""
+
+    def _run(self, dtype, steps=25):
+        from toothgroupnetwork_tpu.train.trainer import make_train_step
+
+        task = get_task("tgnet_fps")
+        cfg = task.default_config()
+        cfg.model_parameter.update({
+            "planes": [8, 16], "stride": [1, 4], "nsample": [8, 8],
+            "blocks": [2, 2], "block_num": 2, "crop_sample_size": 32,
+            "dtype": dtype})
+        module = task.build_module(cfg)
+        n = 256
+        rng = np.random.default_rng(0)
+        batch = {"feat": rng.standard_normal((1, n, 6)).astype(np.float32) * .3,
+                 "gt_seg_label": rng.integers(-1, 16, (1, n)).astype(np.int32),
+                 "mask": np.ones((1, n), bool)}
+        state = create_train_state(module, cfg.optimizer, batch,
+                                   jax.random.PRNGKey(0),
+                                   task.forward_kwargs(batch))
+        step = jax.jit(make_train_step(task, cfg))
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses = []
+        for _ in range(steps):
+            state, values = step(state, db)
+            losses.append(float(sum(values.values())))
+        return np.asarray(losses)
+
+    def test_loss_curve_tracks_f32(self):
+        f32 = self._run("float32")
+        bf16 = self._run("bfloat16")
+        assert np.isfinite(f32).all() and np.isfinite(bf16).all()
+        # both fit the batch; curves stay close in relative terms
+        assert f32[-1] < 0.6 * f32[0]
+        assert bf16[-1] < 0.6 * bf16[0]
+        assert abs(bf16[-1] - f32[-1]) / f32[-1] < 0.15, (f32[-1], bf16[-1])

@@ -155,11 +155,25 @@ def knn_points(
         jnp.arange(n_chunks * csize, dtype=jnp.int32), n - 1
     ).reshape(n_chunks, csize)
 
+    # bf16 SELECTION matrix (TGN_TPU_KNN_SEL=bf16, approx+need_dist=False
+    # only): the [csize, N] distance tile is the kNN's traffic, and these call
+    # sites consume the candidate SET only — writing/selecting it at half
+    # width halves that traffic. Candidate membership under bf16 rounding
+    # stays within the accepted approx recall (set-overlap contract-tested);
+    # returned distances are already documented selection-precision here.
+    sel_bf16 = (approx and not need_dist
+                and os.environ.get("TGN_TPU_KNN_SEL", "f32") == "bf16")
+
     def one_chunk(args):
         qc, qi = args
         d2 = _batched_sqdist(qc, points) + invalid_bias[:, None, :]
         if approx:
-            vals, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
+            if sel_bf16:
+                vals, idx = jax.lax.approx_max_k(
+                    (-d2).astype(jnp.bfloat16), keff, recall_target=0.95)
+                vals = vals.astype(jnp.float32)
+            else:
+                vals, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
         else:
             vals, idx = jax.lax.top_k(-d2, keff)
         if keff < k:

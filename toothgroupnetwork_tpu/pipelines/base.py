@@ -150,6 +150,91 @@ def fps_sample(feats: np.ndarray, n: int) -> np.ndarray:
     return feats[fps_sample_idx(feats[:, :3], n)]
 
 
+def _fps_gather_jits():
+    """Module-scope jit cache for the device-resident samplers (a per-call
+    ``jax.jit`` wrapper would recompile every scan — CLAUDE.md)."""
+    global _FPS_DEV_EXACT, _FPS_DEV_CHUNKED
+    if _FPS_DEV_EXACT is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from ..ops import farthest_point_sample
+
+        @partial(jax.jit, static_argnames=("n_bucket", "n"))
+        def exact(fpad, mask, n_bucket, n):
+            idx = farthest_point_sample(fpad[:, :3], n_bucket, mask)
+            return jnp.take(fpad, idx[:n], axis=0)
+
+        @partial(jax.jit, static_argnames=("quota_pad", "n"))
+        def chunked(pts_feats, mask, quota_pad, n):
+            local = farthest_point_sample(pts_feats[..., :3], quota_pad, mask)
+            counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+            local = jnp.minimum(local, counts[:, None] - 1)  # short last slab
+            g = jnp.take_along_axis(
+                pts_feats, local[..., None].astype(jnp.int32), axis=1)
+            # interleave by selection rank (matches fps_sample_idx_chunked's
+            # global_idx.T.reshape(-1)[:n] trim semantics)
+            return jnp.moveaxis(g, 0, 1).reshape(-1, g.shape[-1])[:n]
+
+        _FPS_DEV_EXACT, _FPS_DEV_CHUNKED = exact, chunked
+    return _FPS_DEV_EXACT, _FPS_DEV_CHUNKED
+
+
+_FPS_DEV_EXACT = None
+_FPS_DEV_CHUNKED = None
+
+
+def fps_sample_dev(feats: np.ndarray, n: int):
+    """``fps_sample`` that KEEPS the sampled rows on device: FPS selection and
+    the row gather run in ONE jitted dispatch, returning a ``[n, F]`` device
+    array with no index fetch. The tgn pipeline feeds it straight into the
+    stage-1 program and fetches the host copy TOGETHER with stage-1's outputs
+    — two tunnel round trips (idx fetch + sampled re-upload, ~25 ms each)
+    fewer per scan than the host-numpy route. Same bucketing/dispatch rules
+    as :func:`fps_sample_idx` (chunked two-level on large TPU clouds, exact
+    elsewhere)."""
+    import jax
+    import jax.numpy as jnp
+
+    n0 = feats.shape[0]
+    if n0 <= n:
+        return jnp.asarray(fps_sample(feats, n))
+    feats = np.ascontiguousarray(feats, np.float32)
+    exact_fn, chunked_fn = _fps_gather_jits()
+    mode = _fps_sample_mode()
+    if mode == "chunked" or (
+            mode == "auto" and n0 >= _FPS_CHUNKED_MIN
+            and jax.default_backend() in ("tpu", "axon")):
+        n_chunks = _FPS_CHUNKS
+        ax = int(np.argmax(feats[:, :3].var(axis=0)))
+        order = np.argsort(feats[:, ax], kind="stable")
+        chunk_len = -(-n0 // n_chunks)
+        chunk_pad = -(-chunk_len // 512) * 512
+        quota = -(-n // n_chunks)
+        quota_pad = min(-(-quota // 128) * 128, chunk_len)
+        f = feats.shape[1]
+        pts = np.zeros((n_chunks, chunk_pad, f), np.float32)
+        mask = np.zeros((n_chunks, chunk_pad), bool)
+        starts = np.minimum(np.arange(n_chunks) * chunk_len, n0)
+        ends = np.minimum(starts + chunk_len, n0)
+        for c in range(n_chunks):
+            m = ends[c] - starts[c]
+            pts[c, :m] = feats[order[starts[c]:ends[c]]]
+            mask[c, :m] = True
+        return chunked_fn(jnp.asarray(pts), jnp.asarray(mask),
+                          quota_pad=quota_pad, n=n)
+
+    n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
+    pad = np.zeros((n_pad, feats.shape[1]), np.float32)
+    pad[:n0] = feats
+    mask = np.zeros(n_pad, bool)
+    mask[:n0] = True
+    n_bucket = min(-(-n // 512) * 512, n0)
+    return exact_fn(jnp.asarray(pad), jnp.asarray(mask),
+                    n_bucket=n_bucket, n=n)
+
+
 def nn_upsample(values: np.ndarray, source_xyz: np.ndarray,
                 target_xyz: np.ndarray) -> np.ndarray:
     """1-NN label transfer from sampled points to all original vertices

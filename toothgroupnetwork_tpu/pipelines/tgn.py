@@ -30,7 +30,7 @@ from ..models.tgnet import TGNet, make_crops
 from ..postprocess.boundary import boundary_sampled_feats
 from ..postprocess.clustering import clustering_points, get_clustering_labels
 from ..postprocess.fusion import disambiguate_arch_labels, merge_boundary_clusters
-from .base import N_SAMPLE, fps_sample
+from .base import N_SAMPLE, fps_sample, fps_sample_dev
 from ..data.scan_prep import prep_scan_host_tgn
 
 K_MAX = 16  # crop slots; challenge jaws have <= 16 teeth
@@ -226,16 +226,22 @@ class TgnInferencePipeline:
         return now
 
     # ------------------------------------------------------------------
-    def _run_fps_stage(self, feats_np, crop_centroids_from, timings: dict):
+    def _run_fps_stage(self, feats_dev, crop_centroids_from, timings: dict):
         """fps-model stage runner: stage-1 forward + fetch (the host DBSCAN
         between the stages forces this sync point), host centroids, then the
         stage-2 program (crops + forward + on-device vote aggregation) with a
-        single [N] int32 fetch."""
+        single [N] int32 fetch.
+
+        ``feats_dev`` is the DEVICE-resident sampled cloud ([n, 6], from
+        ``fps_sample_dev``): stage 1 consumes it without a host round trip,
+        and the host copy rides the same fetch as stage-1's outputs."""
         t0 = time.perf_counter()
-        feats = jnp.asarray(feats_np[None])
+        feats = feats_dev[None]
         cls_1, offset_1 = self._fps_stage1(feats)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
-        cls_1, offset_1 = jax.device_get((cls_1[0], offset_1[0]))
+        feats_np, cls_1, offset_1 = jax.device_get(
+            (feats_dev, cls_1[0], offset_1[0]))
+        feats_np = np.asarray(feats_np)
         t0 = self._t(timings, "fps:stage1_device", t0)
         xyz = feats_np[:, :3]
         moved = xyz + offset_1
@@ -245,7 +251,7 @@ class TgnInferencePipeline:
         whole_mask = np.asarray(
             jax.device_get(self._fps_stage2(feats, cents, valid)))
         self._t(timings, "fps:stage2_device", t0)
-        return cls_1, moved, whole_mask
+        return feats_np, cls_1, moved, whole_mask
 
     def run_many(self, stl_paths, workers: int = 3,
                  prep_workers: int | None = None):
@@ -314,14 +320,18 @@ class TgnInferencePipeline:
         # worker processes; the device FPS sample always runs here
         org_feats, bdl_feats = _prep or prep_scan_host_tgn(stl_path,
                                                            self.n_sample)
-        sampled = fps_sample(bdl_feats, self.n_sample).astype(np.float32)
         if self._spatial_sort:
-            # sorted-cell locality for the super-row attention path; every
-            # downstream consumer is order-consistent (labels/offsets/masks
-            # all align with this array's rows)
+            # sorted-cell locality for the super-row attention path needs a
+            # host-side permutation of the sample — take the host FPS route
+            sampled = fps_sample(bdl_feats, self.n_sample).astype(np.float32)
             from ..ops.cells import spatial_sort_perm
 
             sampled = sampled[spatial_sort_perm(sampled[:, :3])]
+            feats_dev = jnp.asarray(sampled)
+        else:
+            # device-resident FPS: selection + row gather in one dispatch;
+            # the host copy of the sample rides stage-1's fetch
+            feats_dev = fps_sample_dev(bdl_feats, self.n_sample)
         n_vertices = org_feats.shape[0]
         t0 = self._t(timings, "mesh_prep", t0)
 
@@ -332,8 +342,8 @@ class TgnInferencePipeline:
             return [fg_moved[fg_labels == i].mean(axis=0)
                     for i in np.unique(fg_labels)]
 
-        cls_1, moved, whole_mask = self._run_fps_stage(
-            sampled, fps_centroids, timings)
+        sampled, cls_1, moved, whole_mask = self._run_fps_stage(
+            feats_dev, fps_centroids, timings)
         t0 = time.perf_counter()  # cls_1: half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
