@@ -91,15 +91,16 @@ def setup_pipeline(dtype: str = "bfloat16", n_side: int = 317, seed: int = 1):
                        (centers[nearest] - xyz) * 0.9, 0.0)
         rngl = np.random.default_rng(0)
         off = off + rngl.normal(0, 0.004, off.shape)
-        return (jax.numpy.asarray(cls[None]),
-                jax.numpy.asarray(off[None].astype(np.float32)))
+        # numpy returns pass through _run_fps_stage's device_get untouched —
+        # round-tripping them through jnp would add two phantom transfers
+        return cls[None], off[None].astype(np.float32)
 
     pipe._fps_stage1 = plausible_stage1
     return pipe, obj_path
 
 
 def measure(pipe, obj_path, runs: int = 3, overlap: int = 6,
-            verbose: bool = True) -> dict:
+            verbose: bool = True, workers: int = 3) -> dict:
     """Warm up (compiles), measure serial runs + run_many throughput.
     Returns {"scans_per_sec", "serial_s", "overlap_s_per_scan", "phases_ms"}."""
     t0 = time.perf_counter()
@@ -122,11 +123,12 @@ def measure(pipe, obj_path, runs: int = 3, overlap: int = 6,
     dt_many = None
     if overlap > 1:
         t0 = time.perf_counter()
-        pipe.run_many([obj_path] * overlap)
+        pipe.run_many([obj_path] * overlap, workers=workers)
         dt_many = (time.perf_counter() - t0) / overlap
         if verbose:
-            print(f"overlapped run_many x{overlap}: {dt_many * 1e3:.0f} "
-                  f"ms/scan = {1 / dt_many:.2f} scans/s", flush=True)
+            print(f"overlapped run_many x{overlap} (workers={workers}): "
+                  f"{dt_many * 1e3:.0f} ms/scan = {1 / dt_many:.2f} scans/s",
+                  flush=True)
         total = min(total, dt_many)
 
     phases = {k: round(v / runs * 1e3, 1)
@@ -148,13 +150,15 @@ def main():
                     help="also measure run_many throughput over this many scans")
     ap.add_argument("--n-side", type=int, default=317,
                     help="sqrt of synthetic vertex count (317^2 ~ 100k)")
+    ap.add_argument("--workers", type=int, default=3,
+                    help="run_many in-flight scans")
     args = ap.parse_args()
 
     import jax
 
     print(f"backend={jax.default_backend()}", flush=True)
     pipe, obj_path = setup_pipeline(args.dtype, args.n_side)
-    res = measure(pipe, obj_path, args.runs, args.overlap)
+    res = measure(pipe, obj_path, args.runs, args.overlap, workers=args.workers)
     print(json.dumps({
         "metric": "tgn_e2e_scans_per_sec_100k_vertices",
         "value": round(res["scans_per_sec"], 3),

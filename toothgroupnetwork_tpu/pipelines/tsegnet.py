@@ -47,8 +47,17 @@ class TsegnetInferencePipeline:
 
         self._centroid = jax.jit(lambda f: self.module.apply(
             self.variables, f, None, method="centroid_forward"))
-        self._seg = jax.jit(lambda c, m: self.module.apply(
-            self.variables, c, m, method="seg_forward"))
+
+        def seg_post(c, m):
+            # sigmoid/argmax INSIDE the program: the host consumes only the
+            # [K,S] paint mask probabilities and [K] ids — fetching the raw
+            # logit tensors (and eager-dispatching sigmoid/argmax through the
+            # tunnel) would cost two extra round trips
+            _, _, pd_2, id_pred = self.module.apply(
+                self.variables, c, m, method="seg_forward")
+            return jax.nn.sigmoid(pd_2[..., 0]), jnp.argmax(id_pred, axis=-1)
+
+        self._seg = jax.jit(seg_post)
         self._crop = jax.jit(self._build_crops)
 
     def _build_crops(self, feat, l0_points, centers, valid):
@@ -68,9 +77,10 @@ class TsegnetInferencePipeline:
         org_feats, sampled = prep_mesh(stl_path, self.n_sample)
         feats = jnp.asarray(sampled[None])
         cent = self._centroid(feats)
-        l3_xyz = np.asarray(cent["l3_xyz"][0])
-        offset = np.asarray(cent["offset_result"][0])
-        dist = np.asarray(cent["dist_result"][0, :, 0])
+        # ONE device_get (each separate np.asarray pays a tunnel round trip)
+        l3_xyz, offset, dist = jax.device_get(
+            (cent["l3_xyz"][0], cent["offset_result"][0],
+             cent["dist_result"][0, :, 0]))
 
         moved = (l3_xyz + offset)[dist < 0.3]
         centers_list = []
@@ -89,10 +99,8 @@ class TsegnetInferencePipeline:
             crop_feat, crop_mask, crop_idx = self._crop(
                 feats, cent["l0_points"], jnp.asarray(centers),
                 jnp.asarray(valid))
-            pd_1, weight_1, pd_2, id_pred = self._seg(crop_feat, crop_mask)
-            pd_2 = np.asarray(jax.nn.sigmoid(pd_2[..., 0]))   # [K,S]
-            ids = np.asarray(jnp.argmax(id_pred, axis=-1))    # [K]
-            crop_idx = np.asarray(crop_idx)                   # [K,S]
+            pd_2, ids, crop_idx = jax.device_get(
+                (*self._seg(crop_feat, crop_mask), crop_idx))
             for k in range(K_MAX):
                 if not valid[0, k]:
                     continue
