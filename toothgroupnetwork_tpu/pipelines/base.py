@@ -22,10 +22,10 @@ from ..data.mesh_io import compute_vertex_normals, parse_obj, subdivide_midpoint
 from ..data.scan_prep import N_SAMPLE, SCALER, SHIFTER, normalize_scan_vertices
 
 
-def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
-    """Returns ``(org_feats [N0,6], sampled_feats [n_sample,6])`` — original-vertex
-    features (pre-subdivision, the 1-NN upsample targets) and the FPS-sampled model
-    input."""
+def prep_mesh_feats(stl_path: str, n_sample: int = N_SAMPLE):
+    """Host mesh prep WITHOUT the FPS step: returns ``(org_feats [N0,6],
+    feats [N,6])`` — original-vertex features (pre-subdivision, the 1-NN
+    upsample targets) and the (possibly subdivided) FPS source cloud."""
     vertices, faces = parse_obj(stl_path)
     vertices = normalize_scan_vertices(vertices)
 
@@ -36,9 +36,15 @@ def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
         vertices, faces = subdivide_midpoint(vertices, faces, 1)
         normals = compute_vertex_normals(vertices, faces)
     feats = np.concatenate([vertices, normals], axis=1)
+    return org_feats.astype(np.float32), feats.astype(np.float32)
 
-    sampled = fps_sample(feats, n_sample)
-    return org_feats.astype(np.float32), sampled.astype(np.float32)
+
+def prep_mesh(stl_path: str, n_sample: int = N_SAMPLE):
+    """Returns ``(org_feats [N0,6], sampled_feats [n_sample,6])`` — original-vertex
+    features (pre-subdivision, the 1-NN upsample targets) and the FPS-sampled model
+    input."""
+    org_feats, feats = prep_mesh_feats(stl_path, n_sample)
+    return org_feats, fps_sample(feats, n_sample).astype(np.float32)
 
 
 _FPS_BUCKET = 8192
