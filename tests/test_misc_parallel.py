@@ -456,3 +456,37 @@ class TestShardedBackboneForward:
                                    np.asarray(want["sem_1"][0]), atol=2e-4)
         np.testing.assert_allclose(np.asarray(got["offset_1"]),
                                    np.asarray(want["offset_1"][0]), atol=2e-4)
+
+
+class TestShardedCropStage:
+    """SURVEY §2.8(3) names the crop-batch axis of the second stage (16 crops
+    x 3072 pts) as a shardable axis: the crops are embarrassingly parallel, so
+    a NamedSharding over the batch axis partitions the stage-2 forward across
+    the mesh with no code changes — parity vs the unsharded apply."""
+
+    def test_stage2_crop_axis_sharded(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from toothgroupnetwork_tpu.models.tgnet import TGNet
+
+        mesh = make_data_mesh(8, axis="data")
+        k, s = 8, 64  # one crop per device
+        model = TGNet(crop_size=s, c=6, planes=(8, 16), stride=(1, 4),
+                      nsample=(8, 8), blocks=(2, 2), block_num=2)
+        crops = jnp.asarray(rng.standard_normal((k, s, 6)).astype(np.float32))
+        mask = jnp.ones((k, s), bool)
+        vs = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), crops[:1], None, train=False,
+            labels=jnp.zeros((1, s), jnp.int32))
+
+        want = model.apply(vs, crops, mask, method=TGNet.stage2)
+
+        crop_sharding = NamedSharding(mesh, P("data"))
+        sharded = jax.jit(
+            lambda c, m: model.apply(vs, c, m, method=TGNet.stage2),
+            in_shardings=(crop_sharding, crop_sharding))
+        got = sharded(jax.device_put(crops, crop_sharding),
+                      jax.device_put(mask, crop_sharding))
+        for key in ("sem_1", "offset_1"):
+            np.testing.assert_allclose(np.asarray(got[key]),
+                                       np.asarray(want[key]), atol=2e-5)
