@@ -57,12 +57,23 @@ def _prep_scan(seed):
 def _train(module, cfg, task, feats, labels, n_steps, seed):
     """adam + cosine(1e-2 → 2e-4): the recipe validated in dev runs — plain
     SGD at constant lr oscillates on the offset heads of this geometry
-    (squared-distance offset loss, losses/tgn_loss.py)."""
+    (squared-distance offset loss, losses/tgn_loss.py).
+
+    Offset losses upweighted 0.03 → 0.5: at the reference's 0.03 the offset
+    head's gradient is ~30x smaller than the CE heads' and it converges to
+    offsets WORSE than zero (measured: offset_1_loss 0.08 after 120 steps vs
+    the 0.0117 all-zero baseline), which makes DBSCAN merge adjacent teeth
+    (round-2 run: 8 instances / IoU 0.689). At 0.5 it reaches 0.005 by step
+    80 — teeth collapse into separable clusters. This is a training-recipe
+    choice for the tiny synthetic setup, not a framework change."""
     import math
 
     from toothgroupnetwork_tpu.train.config import OptimizerConfig
 
     cfg.optimizer = OptimizerConfig(name="adam", lr=2e-3, weight_decay=1e-4)
+    cfg.loss_weights = dict(cfg.loss_weights)
+    cfg.loss_weights["offset_1_loss"] = 0.5
+    cfg.loss_weights["offset_1_dir_loss"] = 0.5
     batch = {"feat": feats[:2], "gt_seg_label": labels[:2],
              "mask": np.ones((2, N_PTS), bool)}
     state = create_train_state(module, cfg.optimizer, batch,

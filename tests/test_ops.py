@@ -144,6 +144,27 @@ class TestChunkedFPS:
         np.testing.assert_array_equal(np.asarray(fps_sample_dev(small, 256)),
                                       fps_sample(small, 256))
 
+    def test_return_idx_reconstructs_rows(self, rng, monkeypatch):
+        """fps_sample_dev(return_idx=True): src[finalize(idx)] must be
+        bit-identical to the device-gathered rows for all three dispatch
+        modes — the tgn pipeline fetches the ~100 KB index instead of the
+        576 KB rows and rebuilds the host copy this way."""
+        from toothgroupnetwork_tpu.pipelines.base import fps_sample_dev
+
+        feats = rng.standard_normal((40000, 6)).astype(np.float32)
+        for mode in ("exact", "chunked"):
+            monkeypatch.setenv("TGN_FPS_SAMPLE", mode)
+            dev, idx_dev, finalize = fps_sample_dev(feats, 2048,
+                                                    return_idx=True)
+            rebuilt = feats[finalize(np.asarray(idx_dev))]
+            np.testing.assert_array_equal(rebuilt, np.asarray(dev),
+                                          err_msg=mode)
+        monkeypatch.setenv("TGN_FPS_SAMPLE", "auto")
+        small = rng.standard_normal((100, 6)).astype(np.float32)
+        dev, idx_dev, finalize = fps_sample_dev(small, 256, return_idx=True)
+        np.testing.assert_array_equal(small[finalize(np.asarray(idx_dev))],
+                                      np.asarray(dev))
+
     def test_coverage_close_to_exact_fps(self, rng):
         """Coverage metric: the max distance from any cloud point to its
         nearest sample (the quantity FPS greedily minimizes). On a scan-like

@@ -170,7 +170,7 @@ def _fps_gather_jits():
         @partial(jax.jit, static_argnames=("n_bucket", "n"))
         def exact(fpad, mask, n_bucket, n):
             idx = farthest_point_sample(fpad[:, :3], n_bucket, mask)
-            return jnp.take(fpad, idx[:n], axis=0)
+            return jnp.take(fpad, idx[:n], axis=0), idx[:n]
 
         @partial(jax.jit, static_argnames=("quota_pad", "n"))
         def chunked(pts_feats, mask, quota_pad, n):
@@ -181,7 +181,7 @@ def _fps_gather_jits():
                 pts_feats, local[..., None].astype(jnp.int32), axis=1)
             # interleave by selection rank (matches fps_sample_idx_chunked's
             # global_idx.T.reshape(-1)[:n] trim semantics)
-            return jnp.moveaxis(g, 0, 1).reshape(-1, g.shape[-1])[:n]
+            return jnp.moveaxis(g, 0, 1).reshape(-1, g.shape[-1])[:n], local
 
         _FPS_DEV_EXACT, _FPS_DEV_CHUNKED = exact, chunked
     return _FPS_DEV_EXACT, _FPS_DEV_CHUNKED
@@ -191,7 +191,7 @@ _FPS_DEV_EXACT = None
 _FPS_DEV_CHUNKED = None
 
 
-def fps_sample_dev(feats: np.ndarray, n: int):
+def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False):
     """``fps_sample`` that KEEPS the sampled rows on device: FPS selection and
     the row gather run in ONE jitted dispatch, returning a ``[n, F]`` device
     array with no index fetch. The tgn pipeline feeds it straight into the
@@ -199,13 +199,24 @@ def fps_sample_dev(feats: np.ndarray, n: int):
     — two tunnel round trips (idx fetch + sampled re-upload, ~25 ms each)
     fewer per scan than the host-numpy route. Same bucketing/dispatch rules
     as :func:`fps_sample_idx` (chunked two-level on large TPU clouds, exact
-    elsewhere)."""
+    elsewhere).
+
+    With ``return_idx`` returns ``(feats_dev, idx_dev, finalize)`` where
+    ``idx_dev`` is a small DEVICE int32 array and ``finalize(np_idx)`` maps
+    its fetched value to GLOBAL row indices into ``feats``. The tgn pipeline
+    fetches the ~100 KB index instead of the 576 KB sampled rows and
+    reconstructs the host copy as ``feats[global_idx]`` (tunnel discipline:
+    ~10-15 MB/s, every fetched MB is ~70-90 ms/scan)."""
     import jax
     import jax.numpy as jnp
 
     n0 = feats.shape[0]
     if n0 <= n:
-        return jnp.asarray(fps_sample(feats, n))
+        reps_idx = np.tile(np.arange(n0), -(-n // n0))[:n]
+        dev = jnp.asarray(fps_sample(feats, n))
+        if return_idx:
+            return dev, jnp.asarray(reps_idx.astype(np.int32)), np.asarray
+        return dev
     feats = np.ascontiguousarray(feats, np.float32)
     exact_fn, chunked_fn = _fps_gather_jits()
     mode = _fps_sample_mode()
@@ -228,8 +239,15 @@ def fps_sample_dev(feats: np.ndarray, n: int):
             m = ends[c] - starts[c]
             pts[c, :m] = feats[order[starts[c]:ends[c]]]
             mask[c, :m] = True
-        return chunked_fn(jnp.asarray(pts), jnp.asarray(mask),
-                          quota_pad=quota_pad, n=n)
+        dev, local = chunked_fn(jnp.asarray(pts), jnp.asarray(mask),
+                                quota_pad=quota_pad, n=n)
+        if return_idx:
+            def finalize(local_np):  # [n_chunks, quota_pad] -> global [n]
+                g = order[np.minimum(starts[:, None] + local_np, n0 - 1)]
+                return g.T.reshape(-1)[:n]
+
+            return dev, local, finalize
+        return dev
 
     n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
     pad = np.zeros((n_pad, feats.shape[1]), np.float32)
@@ -237,8 +255,11 @@ def fps_sample_dev(feats: np.ndarray, n: int):
     mask = np.zeros(n_pad, bool)
     mask[:n0] = True
     n_bucket = min(-(-n // 512) * 512, n0)
-    return exact_fn(jnp.asarray(pad), jnp.asarray(mask),
-                    n_bucket=n_bucket, n=n)
+    dev, idx = exact_fn(jnp.asarray(pad), jnp.asarray(mask),
+                        n_bucket=n_bucket, n=n)
+    if return_idx:
+        return dev, idx, np.asarray
+    return dev
 
 
 def nn_upsample(values: np.ndarray, source_xyz: np.ndarray,

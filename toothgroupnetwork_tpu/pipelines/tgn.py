@@ -117,14 +117,41 @@ def _device_votes(sem2, crop_idx, crop_valid, n_points: int):
     """Device-side crop-vote aggregation (same contract as
     ``_aggregate_crop_votes``): scatter-add each valid crop's FG/BG logits onto
     its source points, argmax. Runs INSIDE the stage-2 program so the pipeline
-    fetches one [N] int32 mask instead of the [16, crop_size, 2] logit tensor
-    (plus saves the host add.at loop, which runs under the GIL during
+    fetches one [N] uint8 mask (24 KB) instead of the [16, crop_size, 2] logit
+    tensor (plus saves the host add.at loop, which runs under the GIL during
     ``run_many`` overlap)."""
     w = crop_valid[:, None, None].astype(jnp.float32)
     contrib = (sem2.astype(jnp.float32) * w).reshape(-1, 2)
     votes = jnp.zeros((n_points, 2), jnp.float32
                       ).at[crop_idx.reshape(-1)].add(contrib)
-    return jnp.argmax(votes, axis=1).astype(jnp.int32)
+    return jnp.argmax(votes, axis=1).astype(jnp.uint8)
+
+
+_final_transfer_jit = None
+_final_transfer_nob_jit = None
+
+
+def _final_transfer_fns():
+    """Device final 1-NN transfer: combine the purity query's exact
+    org->sampled 1-NN with the boundary-half 1-NN (``_bdl_nn1_fn``) and gather
+    the fused labels — all on device, so the pipeline fetches two [Npad] uint8
+    planes (~200 KB) instead of the i32 index + f32 distance pair (~800 KB)
+    plus host ``where``/gathers. ``label_pad`` rows: [0:n_sampled] stage-1
+    labels, [n_sampled:] boundary-cluster labels (mod_ps/mod_sem order —
+    matching the host route's ``concat([ins_labels, mod_ps])[nn]``). Ties
+    (d_b2 == nn1_d2) resolve to the sampled side, same as the host route."""
+    global _final_transfer_jit, _final_transfer_nob_jit
+    if _final_transfer_jit is None:
+        def full(nn1, nn1_d2, nn_b, d_b2, ins_pad, sem_pad, n_sampled):
+            nn = jnp.where(d_b2 < nn1_d2, n_sampled + nn_b, nn1)
+            return jnp.take(ins_pad, nn), jnp.take(sem_pad, nn)
+
+        def nob(nn1, ins_pad, sem_pad):
+            return jnp.take(ins_pad, nn1), jnp.take(sem_pad, nn1)
+
+        _final_transfer_jit = jax.jit(full)
+        _final_transfer_nob_jit = jax.jit(nob)
+    return _final_transfer_jit, _final_transfer_nob_jit
 
 
 class TgnInferencePipeline:
@@ -178,9 +205,13 @@ class TgnInferencePipeline:
         def stage1(module, variables, feats):
             out = module.apply(variables, feats, None, method=TGNet.stage1)
             # every host consumer takes argmax of the semantics (clustering,
-            # crop centroids, final labels) — fetching class ids moves 96 KB
-            # through the tunnel instead of the 960 KB logit tensor
-            return jnp.argmax(out["sem_1"], -1).astype(jnp.int32), out["offset_1"]
+            # crop centroids, final labels) — fetching uint8 class ids moves
+            # 24 KB through the tunnel instead of the 960 KB logit tensor;
+            # the offsets ship pre-added (moved = xyz + offset) because the
+            # host only ever clusters the MOVED points
+            cls = jnp.argmax(out["sem_1"], -1).astype(jnp.uint8)
+            moved = feats[..., :3] + out["offset_1"]
+            return cls, moved
 
         def stage2(module, variables, feats, cents, valid):
             # crops built IN the same program: a separate make_crops dispatch
@@ -226,25 +257,34 @@ class TgnInferencePipeline:
         return now
 
     # ------------------------------------------------------------------
-    def _run_fps_stage(self, feats_dev, crop_centroids_from, timings: dict):
+    def _run_fps_stage(self, feats_dev, sample_idx, crop_centroids_from,
+                       timings: dict):
         """fps-model stage runner: stage-1 forward + fetch (the host DBSCAN
         between the stages forces this sync point), host centroids, then the
         stage-2 program (crops + forward + on-device vote aggregation) with a
-        single [N] int32 fetch.
+        single [N] uint8 fetch.
 
         ``feats_dev`` is the DEVICE-resident sampled cloud ([n, 6], from
-        ``fps_sample_dev``): stage 1 consumes it without a host round trip,
-        and the host copy rides the same fetch as stage-1's outputs."""
+        ``fps_sample_dev``); ``sample_idx`` is ``(idx_dev, finalize,
+        src_feats)`` — the host copy is reconstructed as
+        ``src_feats[finalize(idx)]`` so the fetch moves the ~100 KB index
+        instead of the 576 KB rows (None falls back to fetching the rows)."""
         t0 = time.perf_counter()
         feats = feats_dev[None]
-        cls_1, offset_1 = self._fps_stage1(feats)
+        cls_1, moved = self._fps_stage1(feats)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
-        feats_np, cls_1, offset_1 = jax.device_get(
-            (feats_dev, cls_1[0], offset_1[0]))
-        feats_np = np.asarray(feats_np)
+        if sample_idx is not None:
+            idx_dev, finalize, src_feats = sample_idx
+            idx_np, cls_1, moved = jax.device_get((idx_dev, cls_1[0],
+                                                   moved[0]))
+            feats_np = src_feats[finalize(np.asarray(idx_np))]
+        else:
+            feats_np, cls_1, moved = jax.device_get(
+                (feats_dev, cls_1[0], moved[0]))
+            feats_np = np.asarray(feats_np)
+        cls_1 = cls_1.astype(np.int32)
         t0 = self._t(timings, "fps:stage1_device", t0)
         xyz = feats_np[:, :3]
-        moved = xyz + offset_1
         centroids = crop_centroids_from(cls_1, moved, xyz)
         t0 = self._t(timings, "fps:host_centroids", t0)
         cents, valid, _ = _pad_centroids(centroids)
@@ -328,10 +368,14 @@ class TgnInferencePipeline:
 
             sampled = sampled[spatial_sort_perm(sampled[:, :3])]
             feats_dev = jnp.asarray(sampled)
+            sample_idx = None
         else:
             # device-resident FPS: selection + row gather in one dispatch;
-            # the host copy of the sample rides stage-1's fetch
-            feats_dev = fps_sample_dev(bdl_feats, self.n_sample)
+            # the host copy is rebuilt from the ~100 KB sample INDEX (fetched
+            # with stage-1's outputs) instead of fetching the 576 KB rows
+            feats_dev, idx_dev, finalize = fps_sample_dev(
+                bdl_feats, self.n_sample, return_idx=True)
+            sample_idx = (idx_dev, finalize, bdl_feats)
         n_vertices = org_feats.shape[0]
         t0 = self._t(timings, "mesh_prep", t0)
 
@@ -343,7 +387,7 @@ class TgnInferencePipeline:
                     for i in np.unique(fg_labels)]
 
         sampled, cls_1, moved, whole_mask = self._run_fps_stage(
-            feats_dev, fps_centroids, timings)
+            feats_dev, sample_idx, fps_centroids, timings)
         t0 = time.perf_counter()  # cls_1: half-arch 0..9
 
         # refined instancing from the vote-aggregated FG mask (:198-214)
@@ -363,7 +407,7 @@ class TgnInferencePipeline:
                 num_bdl_points=self.boundary_info["num_of_bdl_points"],
                 num_all_points=self.boundary_info["num_of_all_points"],
                 spatial_sort=self._spatial_sort, return_nn1=True,
-                device_ctx=device_ctx)
+                device_ctx=device_ctx, sampled_xyz_dev=feats_dev)
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
         # boundary half of the final 1-NN transfer: dispatch NOW (device MXU,
         # reusing the purity query's resident org upload) so it overlaps the
@@ -413,25 +457,44 @@ class TgnInferencePipeline:
         # ---------------- 1-NN transfer + FDI remap ----------------
         # Decomposed 1-NN over the concat (same minimum, up to exact-distance
         # tie-breaks): the org->SAMPLED half is the purity query's exact nn1
-        # byproduct (free — already fetched), so the host KD-tree only covers
-        # the <=20k boundary points instead of the 44k concat (the full-concat
-        # tree was 75-150 ms of single-core host time per scan; a flat device
-        # MXU variant measured 143 ms at [100k x 48k] — trees prune too well)
-        nn = nn1_idx[:n_vertices].astype(np.int64)
-        if nn1_b_fut is not None:
-            nn_b, d_b2 = jax.device_get(nn1_b_fut)
-            nn_b = nn_b[:n_vertices].astype(np.int64)
-            use_b = d_b2[:n_vertices] < nn1_d2[:n_vertices]  # ties -> sampled
-            nn = np.where(use_b, len(first_xyz) + nn_b, nn)
-        elif n_bd:
-            from scipy.spatial import cKDTree
+        # byproduct. On the device path BOTH halves live on device already
+        # (purity nn1 + the early-dispatched boundary 1-NN), so the combine +
+        # label gather run there too and the pipeline fetches two [Npad]
+        # uint8 planes (~200 KB) instead of the i32/f32 pair (~800 KB) plus
+        # host where/gathers. Host route: KD-tree over only the <=20k
+        # boundary points instead of the 44k concat (the full-concat tree was
+        # 75-150 ms of single-core host time per scan; a flat device MXU
+        # variant measured 143 ms at [100k x 48k] — trees prune too well)
+        if "nn1_dev" in device_ctx:
+            num_bdl = self.boundary_info["num_of_bdl_points"]
+            ins_pad = np.zeros(len(first_xyz) + num_bdl, np.uint8)
+            sem_pad = np.zeros_like(ins_pad)
+            ins_pad[:len(final_ins)] = final_ins
+            sem_pad[:len(final_sem)] = final_sem
+            full_fn, nob_fn = _final_transfer_fns()
+            if nn1_b_fut is not None:
+                res = full_fn(device_ctx["nn1_dev"],
+                              device_ctx["nn1_d2_dev"],
+                              nn1_b_fut[0], nn1_b_fut[1],
+                              jnp.asarray(ins_pad), jnp.asarray(sem_pad),
+                              jnp.int32(len(first_xyz)))
+            else:
+                res = nob_fn(device_ctx["nn1_dev"], jnp.asarray(ins_pad),
+                             jnp.asarray(sem_pad))
+            result_ins, result_sem = jax.device_get(res)
+            result_ins = result_ins[:n_vertices].astype(np.int64)
+            result_sem = result_sem[:n_vertices].astype(np.int64)
+        else:
+            nn = nn1_idx[:n_vertices].astype(np.int64)
+            if n_bd:
+                from scipy.spatial import cKDTree
 
-            d_b, nn_b = cKDTree(bdl_xyz).query(org_feats[:, :3], k=1,
-                                               workers=-1)
-            use_b = (d_b ** 2) < nn1_d2[:n_vertices]  # ties -> sampled side
-            nn = np.where(use_b, len(first_xyz) + nn_b, nn)
-        result_ins = final_ins[nn.reshape(-1)]
-        result_sem = final_sem[nn.reshape(-1)].copy()
+                d_b, nn_b = cKDTree(bdl_xyz).query(org_feats[:, :3], k=1,
+                                                   workers=-1)
+                use_b = (d_b ** 2) < nn1_d2[:n_vertices]  # ties -> sampled
+                nn = np.where(use_b, len(first_xyz) + nn_b, nn)
+            result_ins = final_ins[nn.reshape(-1)]
+            result_sem = final_sem[nn.reshape(-1)].copy()
         result_sem[result_sem >= 9] += 2
         result_sem[result_sem > 0] += 10
         self._t(timings, "host_1nn_transfer", t0)

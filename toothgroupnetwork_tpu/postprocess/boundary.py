@@ -19,11 +19,20 @@ from .clustering import first_label_ratio
 _purity_device_jit = None
 
 
-def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
-    """[Np,3] x [M,3] -> (ratio [Np], nn1_label [Np]) on device: 40-NN label
-    purity + 1-NN label, MXU distances instead of a host KD-tree sweep.
-    Jitted ONCE at module scope — a per-call ``jax.jit(partial(...))`` wrapper
-    would recompile the 100k x 24k graph on every scan (measured 21 s/scan).
+def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
+                      bdl_ratio: float = 0.7):
+    """[Np,3] x [M,3] -> (bd_mask [Np] bool, nn1_label [Np] u8, nn1 [Np] i32,
+    nn1_d2 [Np] f32) on device: 40-NN label purity + 1-NN label, MXU distances
+    instead of a host KD-tree sweep. Jitted ONCE at module scope — a per-call
+    ``jax.jit(partial(...))`` wrapper would recompile the 100k x 24k graph on
+    every scan (measured 21 s/scan).
+
+    Tunnel-fetch discipline (CLAUDE.md: the tunnel moves ~10-15 MB/s, every
+    fetched MB costs ~70-90 ms/scan): the boundary THRESHOLD is applied
+    in-program so the pipeline fetches a [Np] bool instead of the f32 ratio,
+    and the 1-NN label is returned uint8 (instance ids are small ints). The
+    nn1 index / squared distance outputs are meant to STAY on device — the
+    pipeline's final transfer consumes them there (``_final_transfer_fn``).
 
     Exactness: the 1-NN label becomes the boundary points' OUTPUT semantics, so
     its identity is re-derived by an exact re-score of the top-4 approx
@@ -42,7 +51,8 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
         from ..ops import knn_points
         from ..ops.gather import index_points
 
-        def fn(org_xyz, sampled_xyz, labels, k):
+        def fn(org_xyz, sampled_xyz, labels, bdl_ratio, k):
+            sampled_xyz = sampled_xyz[:, :3]  # accept a [M,6] feats buffer
             idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
                                 need_dist=False)
             # exact re-score of the leading candidates -> true 1-NN identity
@@ -61,26 +71,34 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int):
             # nn1/nn1_d2 let the pipeline SKIP re-solving org->sampled in its
             # final 1-NN transfer (pipelines/tgn.py: the KD-tree then only
             # covers the <=20k boundary points instead of the 44k concat)
-            return ratio, nn1_lab, nn1, nn1_d2
+            return (ratio < bdl_ratio, nn1_lab.astype(jnp.uint8),
+                    nn1, nn1_d2)
 
         _purity_device_jit = jax.jit(fn, static_argnames=("k",))
-    return _purity_device_jit(org_xyz, sampled_xyz, labels, k=k)
+    import jax.numpy as jnp
+
+    return _purity_device_jit(org_xyz, sampled_xyz, labels,
+                              jnp.float32(bdl_ratio), k=k)
 
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
-                     point_labels: np.ndarray, k: int,
-                     device_ctx: dict | None = None):
-    """Returns (first-label ratio [N], 1-NN label [N], 1-NN index [N],
-    1-NN squared distance [N]). Device path on TPU (bucketed query size, one
-    compiled executable per size bucket); host KD-tree elsewhere. The device
-    1-NN is exact (narrow re-score in _purity_device_fn); only the purity
-    ratio's 40-neighbor MEMBERSHIP is approx-selection (recall ~0.95), which
-    the mean is insensitive to.
+                     point_labels: np.ndarray, k: int, bdl_ratio: float,
+                     device_ctx: dict | None = None, sampled_dev=None):
+    """Returns (boundary mask [N] bool, 1-NN label [N], 1-NN index [N] or
+    None, 1-NN squared distance [N] or None). Device path on TPU (bucketed
+    query size, one compiled executable per size bucket); host KD-tree
+    elsewhere. The device 1-NN is exact (narrow re-score in
+    _purity_device_fn); only the purity ratio's 40-neighbor MEMBERSHIP is
+    approx-selection (recall ~0.95), which the thresholded mean is insensitive
+    to.
 
-    ``device_ctx`` (optional dict) receives ``org_pad_dev`` — the padded query
-    cloud's DEVICE buffer — when the device path runs, so the pipeline's later
-    boundary-1-NN dispatch reuses the upload instead of re-transferring 1.2 MB
-    through the tunnel."""
+    On the device path the nn1 index/distance are returned as ``None`` to the
+    host and instead stashed in ``device_ctx`` as DEVICE arrays
+    (``nn1_dev``/``nn1_d2_dev`` over the PADDED query cloud) — the pipeline's
+    final 1-NN transfer consumes them on device (fetching the f32/i32 pair
+    would move 800 KB/scan through the ~10-15 MB/s tunnel for no host use).
+    ``device_ctx`` also receives ``org_pad_dev``/``sampled_dev`` so later
+    dispatches reuse the uploads."""
     import jax
 
     n0 = org_xyz.shape[0]
@@ -92,18 +110,26 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         pad = np.zeros((n_pad, 3), np.float32)
         pad[:n0] = org_xyz
         pad_dev = jnp.asarray(pad)
+        if sampled_dev is None:
+            sampled_dev = jnp.asarray(
+                np.ascontiguousarray(sampled_xyz, np.float32))
+        bd_mask, nn1_lab, nn1, nn1_d2 = _purity_device_fn(
+            pad_dev, sampled_dev,
+            jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio)
         if device_ctx is not None:
             device_ctx["org_pad_dev"] = pad_dev
-        ratio, nn1_lab, nn1, nn1_d2 = jax.device_get(_purity_device_fn(
-            pad_dev, jnp.asarray(sampled_xyz),
-            jnp.asarray(point_labels.astype(np.int32)), k))
-        return ratio[:n0], nn1_lab[:n0], nn1[:n0], nn1_d2[:n0]
+            device_ctx["nn1_dev"] = nn1
+            device_ctx["nn1_d2_dev"] = nn1_d2
+        bd_mask, nn1_lab = jax.device_get((bd_mask, nn1_lab))
+        return (bd_mask[:n0], nn1_lab[:n0].astype(point_labels.dtype),
+                None, None)
 
-    tree = cKDTree(sampled_xyz)
+    tree = cKDTree(np.asarray(sampled_xyz)[:, :3])
     dist, nn = tree.query(org_xyz, k=k, workers=-1)
     nn = np.atleast_2d(nn)
     dist = np.atleast_2d(dist)
-    return (first_label_ratio(point_labels[nn]), point_labels[nn[:, 0]],
+    return (first_label_ratio(point_labels[nn]) < bdl_ratio,
+            point_labels[nn[:, 0]],
             nn[:, 0], (dist[:, 0] ** 2).astype(np.float32))
 
 
@@ -118,25 +144,29 @@ def boundary_sampled_feats(
     spatial_sort: bool = False,
     return_nn1: bool = False,
     device_ctx: dict | None = None,
+    sampled_xyz_dev=None,
 ):
     """Returns (feats [num_all_points, 6], pseudo_labels [num_all_points],
     n_boundary) — boundary points first, matching the reference's concat order
     (inference_pipeline_tgn.py:311-318). With ``return_nn1``, additionally
     returns ``(nn1_idx [N], nn1_d2 [N])`` — each org vertex's exact nearest
     SAMPLED point (index + squared distance), a free byproduct of the purity
-    query that the tgn pipeline reuses in its final 1-NN transfer.
+    query that the tgn pipeline reuses in its final 1-NN transfer. On the
+    device purity path these two are ``(None, None)`` and live in
+    ``device_ctx`` as device arrays instead (see ``_boundary_purity``).
 
     Args:
       point_labels: [M] instance labels of the sampled cloud (0 = gingiva).
       org_feats: [N, 6] full-resolution features to resample from.
       sampled_feats: [M, 6] the stage-1 sampled cloud.
+      sampled_xyz_dev: optional DEVICE-resident [M, 3] copy of the sampled
+        xyz — skips re-uploading 288 KB through the tunnel on the device path.
     """
     rng = rng or np.random.default_rng(0)
     k = min(40, sampled_feats.shape[0])
-    ratio, ps_labels, nn1_idx, nn1_d2 = _boundary_purity(
-        org_feats[:, :3].astype(np.float32), sampled_feats[:, :3], point_labels,
-        k, device_ctx)
-    bd_mask = ratio < bdl_ratio
+    bd_mask, ps_labels, nn1_idx, nn1_d2 = _boundary_purity(
+        org_feats[:, :3].astype(np.float32), sampled_feats[:, :3],
+        point_labels, k, bdl_ratio, device_ctx, sampled_dev=sampled_xyz_dev)
 
     bd_feats = org_feats[bd_mask]
     bd_labels = ps_labels[bd_mask]
