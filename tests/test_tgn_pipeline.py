@@ -127,6 +127,68 @@ class TestBoundaryResample:
         assert agree[~near].all()
         assert agree.mean() > 0.99
 
+    def test_masked_fps_matches_compacted_subset(self, rng):
+        """_masked_fps (device FPS over the non-boundary subset, masked
+        directly on the padded org cloud) must select EXACTLY the points the
+        host route selects by compacting the subset and running exact FPS:
+        same seed (first valid point) and the same per-iteration argmax."""
+        import jax.numpy as jnp
+
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+        from toothgroupnetwork_tpu.postprocess.boundary import _masked_fps
+
+        n0, n_pad, need = 3000, 4096, 512
+        org = rng.uniform(-1, 1, (n0, 3)).astype(np.float32)
+        bd = rng.random(n0) < 0.35
+        pad = np.zeros((n_pad, 3), np.float32)
+        pad[:n0] = org
+        bd_pad = np.zeros(n_pad, bool)
+        bd_pad[:n0] = bd
+        # also flag some PAD rows boundary: the row<n_valid guard must win
+        bd_pad[n0 + 10:n0 + 20] = True
+
+        g_idx = np.asarray(_masked_fps(jnp.asarray(pad), jnp.asarray(bd_pad),
+                                       n0, need))
+        non_bd = org[~bd]
+        local = np.asarray(farthest_point_sample(jnp.asarray(non_bd), need))
+        expected = np.where(~bd)[0][local]
+        np.testing.assert_array_equal(g_idx, expected)
+
+    def test_boundary_resample_device_route_matches_host(self, rng):
+        """boundary_sampled_feats with a primed device_ctx (bd_mask_dev /
+        org_pad_dev, as the TPU purity path stashes them) must produce the
+        same cloud as the host route when both use exact FPS — the masked
+        selection and the compact-then-FPS selection are the same points."""
+        import jax.numpy as jnp
+
+        n = 3000
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        labels = (pts[:, 0] > 0).astype(np.int64) + 1
+        feats = np.concatenate([pts, np.zeros_like(pts)], -1)
+        host_out, host_lab, host_nbd = boundary_sampled_feats(
+            labels, feats, feats, bdl_ratio=0.7, num_bdl_points=500,
+            num_all_points=1000)
+
+        # prime a device_ctx the way _boundary_purity's TPU path does
+        from toothgroupnetwork_tpu.postprocess.boundary import \
+            _boundary_purity
+
+        bd_mask, ps, _, _ = _boundary_purity(
+            pts, feats[:, :3], labels, min(40, n), 0.7)
+        n_pad = 4096
+        pad = np.zeros((n_pad, 3), np.float32)
+        pad[:n] = pts
+        bd_pad = np.zeros(n_pad, bool)
+        bd_pad[:n] = bd_mask
+        ctx = {"org_pad_dev": jnp.asarray(pad),
+               "bd_mask_dev": jnp.asarray(bd_pad), "n_org": n}
+        dev_out, dev_lab, dev_nbd = boundary_sampled_feats(
+            labels, feats, feats, bdl_ratio=0.7, num_bdl_points=500,
+            num_all_points=1000, device_ctx=ctx)
+        assert dev_nbd == host_nbd
+        np.testing.assert_array_equal(dev_out, host_out)
+        np.testing.assert_array_equal(dev_lab, host_lab)
+
     def test_device_purity_accepts_feats_buffer(self, rng):
         """The pipeline passes its device-resident [M,6] FEATURE buffer as the
         sampled cloud (skipping a 288 KB re-upload); the kernel must slice

@@ -118,6 +118,8 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
             jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio)
         if device_ctx is not None:
             device_ctx["org_pad_dev"] = pad_dev
+            device_ctx["bd_mask_dev"] = bd_mask  # device handle survives the fetch
+            device_ctx["n_org"] = n0
             device_ctx["nn1_dev"] = nn1
             device_ctx["nn1_d2_dev"] = nn1_d2
         bd_mask, nn1_lab = jax.device_get((bd_mask, nn1_lab))
@@ -131,6 +133,40 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
     return (first_label_ratio(point_labels[nn]) < bdl_ratio,
             point_labels[nn[:, 0]],
             nn[:, 0], (dist[:, 0] ** 2).astype(np.float32))
+
+
+_masked_fps_jit = None
+_MASKED_FPS_MAX = 8192
+
+
+def _masked_fps(org_pad_dev, bd_mask_dev, n_valid: int, n_bucket: int):
+    """Exact FPS over the NON-boundary subset of the (device-resident) padded
+    org cloud: ``farthest_point_sample`` with ``valid = (row < n_valid) &
+    ~boundary``. Selection is identical to compacting the subset on host and
+    running exact FPS there (same seed — the first valid point — and the same
+    per-iteration argmax set), but needs ZERO upload: both operands are
+    already resident from the purity query (``org_pad_dev``/``bd_mask_dev``
+    in ``device_ctx``), where the host route re-ships ~1 MB of non-boundary
+    xyz through the ~10-15 MB/s tunnel (~70-100 ms/scan) plus a ~10 ms host
+    partition sort. The fetched index plane is ``4*n_bucket`` bytes.
+
+    ``n_bucket`` is static (the caller buckets the sample count to 512s; FPS
+    is greedy-sequential so a prefix of a longer run IS the shorter run) —
+    one executable per (org-pad bucket, n_bucket) pair."""
+    global _masked_fps_jit
+    if _masked_fps_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import farthest_point_sample
+
+        def fn(xyz, bd, n_valid, n_bucket):
+            ok = (jnp.arange(xyz.shape[0]) < n_valid) & ~bd
+            return farthest_point_sample(xyz, n_bucket, ok)
+
+        _masked_fps_jit = jax.jit(fn, static_argnames=("n_bucket",))
+    return _masked_fps_jit(org_pad_dev, bd_mask_dev, n_valid,
+                           n_bucket=n_bucket)
 
 
 def boundary_sampled_feats(
@@ -174,21 +210,37 @@ def boundary_sampled_feats(
     perm = rng.permutation(bd_feats.shape[0])[:num_bdl_points]
     bd_feats, bd_labels = bd_feats[perm], bd_labels[perm]
 
-    non_bd_feats = org_feats[~bd_mask]
-    non_bd_labels = ps_labels[~bd_mask]
     need = num_all_points - bd_feats.shape[0]
-    if non_bd_feats.shape[0] > need:
+    n_non_bd = org_feats.shape[0] - int(np.count_nonzero(bd_mask))
+    if (device_ctx is not None and "bd_mask_dev" in device_ctx
+            and n_non_bd > need and 0 < need <= _MASKED_FPS_MAX):
+        # zero-upload device route: exact FPS over the non-boundary subset,
+        # masked directly on the purity query's resident org cloud
+        import jax
+
+        n_bucket = min(-(-need // 512) * 512, n_non_bd)
+        g_idx = np.asarray(jax.device_get(_masked_fps(
+            device_ctx["org_pad_dev"], device_ctx["bd_mask_dev"],
+            device_ctx["n_org"], n_bucket)))[:need]
+        non_bd_feats = org_feats[g_idx]
+        non_bd_labels = ps_labels[g_idx]
+    elif n_non_bd > need:
         from ..pipelines.base import fps_sample_idx
 
+        non_bd_feats = org_feats[~bd_mask]
+        non_bd_labels = ps_labels[~bd_mask]
         # bucketed device FPS: the non-boundary count varies per scan, and an
         # unbucketed call would recompile for every distinct size
         idx = fps_sample_idx(non_bd_feats[:, :3], need)
+        non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
     else:
+        non_bd_feats = org_feats[~bd_mask]
+        non_bd_labels = ps_labels[~bd_mask]
         # not enough non-boundary points: take all + repeat uniformly
         reps = rng.integers(0, max(non_bd_feats.shape[0], 1),
                             need - non_bd_feats.shape[0])
         idx = np.concatenate([np.arange(non_bd_feats.shape[0]), reps])
-    non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
+        non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
 
     if spatial_sort:
         # sort WITHIN each segment (boundary block, then rest) so the
