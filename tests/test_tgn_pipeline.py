@@ -209,6 +209,13 @@ class TestBoundaryResample:
             jnp.asarray(labels), 20, 0.7)
         np.testing.assert_array_equal(np.asarray(i6), np.asarray(i3))
         np.testing.assert_array_equal(np.asarray(bd6), np.asarray(bd3))
+        # org side: the purity query reuses the fused-FPS [Np,6] upload
+        org6 = np.concatenate([org, np.zeros_like(org)], -1)
+        bdo, lo, io, do = _purity_device_fn(
+            jnp.asarray(org6), jnp.asarray(sampled), jnp.asarray(labels),
+            20, 0.7)
+        np.testing.assert_array_equal(np.asarray(io), np.asarray(i3))
+        np.testing.assert_array_equal(np.asarray(bdo), np.asarray(bd3))
 
     def test_device_final_transfer_matches_host(self, rng):
         """_final_transfer_fns (device combine of the purity nn1 with the
@@ -365,3 +372,10 @@ class TestBdlNn1Device:
         np.testing.assert_array_equal(idx, nn)
         np.testing.assert_allclose(d2, dist ** 2, rtol=1e-4, atol=1e-9)
         assert (d2[:100] == 0).all()
+
+        # [Npad,6] query buffer (the purity query's reused fused-FPS upload)
+        q6 = np.concatenate([q, np.zeros_like(q)], -1)
+        idx6, d26 = jax.device_get(_bdl_nn1_fn(jnp.asarray(q6),
+                                               jnp.asarray(pad)))
+        np.testing.assert_array_equal(idx6, idx)
+        np.testing.assert_array_equal(d26, d2)

@@ -159,7 +159,7 @@ def fps_sample(feats: np.ndarray, n: int) -> np.ndarray:
 def _fps_gather_jits():
     """Module-scope jit cache for the device-resident samplers (a per-call
     ``jax.jit`` wrapper would recompile every scan — CLAUDE.md)."""
-    global _FPS_DEV_EXACT, _FPS_DEV_CHUNKED
+    global _FPS_DEV_EXACT, _FPS_DEV_CHUNKED, _FPS_DEV_FUSED
     if _FPS_DEV_EXACT is None:
         import jax
         import jax.numpy as jnp
@@ -183,15 +183,53 @@ def _fps_gather_jits():
             # global_idx.T.reshape(-1)[:n] trim semantics)
             return jnp.moveaxis(g, 0, 1).reshape(-1, g.shape[-1])[:n], local
 
-        _FPS_DEV_EXACT, _FPS_DEV_CHUNKED = exact, chunked
-    return _FPS_DEV_EXACT, _FPS_DEV_CHUNKED
+        @partial(jax.jit, static_argnames=("quota_pad", "n", "n_chunks"))
+        def fused(feats_pad, n0, ax, quota_pad, n, n_chunks):
+            # Device-side two-level FPS: the spatial partition (stable sort by
+            # the host-chosen axis, equal-VALID-count slabs of
+            # ceil(n0/n_chunks)) runs INSIDE the program, so the host uploads
+            # the scan ONCE in original row order — no host argsort (~10 ms
+            # GIL time/scan), no permuted padded copy, and the same buffer's
+            # xyz prefix doubles as the purity query's org cloud (saves its
+            # ~1.2 MB re-upload; see TgnInferencePipeline). Slab assignment,
+            # quotas, and the rank interleave reproduce fps_sample_idx_chunked
+            # exactly (contract-tested bit-identical).
+            npad, f = feats_pad.shape
+            chunk_pad = npad // n_chunks
+            i = jnp.arange(npad, dtype=jnp.int32)
+            key = jnp.where(i < n0, jnp.take(feats_pad, ax, axis=1), jnp.inf)
+            order = jnp.argsort(key).astype(jnp.int32)  # stable: ties keep
+            chunk_len = (n0 + n_chunks - 1) // n_chunks  # original order
+            slab = i // chunk_len
+            pos = i - slab * chunk_len
+            srows = jnp.take(feats_pad, order, axis=0)
+            pts = jnp.zeros((n_chunks, chunk_pad, f), feats_pad.dtype
+                            ).at[slab, pos].set(srows, mode="drop")
+            msk = jnp.zeros((n_chunks, chunk_pad), bool
+                            ).at[slab, pos].set(i < n0, mode="drop")
+            local = farthest_point_sample(pts[..., :3], quota_pad, msk)
+            counts = jnp.sum(msk, axis=1).astype(jnp.int32)
+            local = jnp.minimum(local, jnp.maximum(counts[:, None] - 1, 0))
+            spos = (jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * chunk_len
+                    + local)
+            g = jnp.take(order, jnp.minimum(spos, npad - 1))
+            rows = jnp.take(feats_pad, g, axis=0)        # [n_chunks, q, F]
+            rows = jnp.moveaxis(rows, 0, 1).reshape(-1, f)[:n]
+            gi = jnp.moveaxis(g, 0, 1).reshape(-1)[:n]
+            return rows, gi
+
+        _FPS_DEV_EXACT, _FPS_DEV_CHUNKED, _FPS_DEV_FUSED = \
+            exact, chunked, fused
+    return _FPS_DEV_EXACT, _FPS_DEV_CHUNKED, _FPS_DEV_FUSED
 
 
 _FPS_DEV_EXACT = None
 _FPS_DEV_CHUNKED = None
+_FPS_DEV_FUSED = None
 
 
-def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False):
+def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False,
+                   ctx: dict | None = None):
     """``fps_sample`` that KEEPS the sampled rows on device: FPS selection and
     the row gather run in ONE jitted dispatch, returning a ``[n, F]`` device
     array with no index fetch. The tgn pipeline feeds it straight into the
@@ -218,11 +256,33 @@ def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False):
             return dev, jnp.asarray(reps_idx.astype(np.int32)), np.asarray
         return dev
     feats = np.ascontiguousarray(feats, np.float32)
-    exact_fn, chunked_fn = _fps_gather_jits()
+    exact_fn, chunked_fn, fused_fn = _fps_gather_jits()
     mode = _fps_sample_mode()
-    if mode == "chunked" or (
-            mode == "auto" and n0 >= _FPS_CHUNKED_MIN
-            and jax.default_backend() in ("tpu", "axon")):
+    on_dev = jax.default_backend() in ("tpu", "axon")
+    if mode in ("chunked", "fused") or (
+            mode == "auto" and n0 >= _FPS_CHUNKED_MIN and on_dev):
+        # fused device partition: ONE upload of the raw padded buffer; the
+        # sort/slab/scatter happen in-program (see _fps_gather_jits.fused).
+        # The padded buffer is stashed in ``ctx`` for downstream reuse (the
+        # tgn pipeline's purity query reads its xyz prefix as the org cloud).
+        n_chunks = _FPS_CHUNKS
+        ax = int(np.argmax(feats[:, :3].var(axis=0)))
+        n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
+        pad = np.zeros((n_pad, feats.shape[1]), np.float32)
+        pad[:n0] = feats
+        quota = -(-n // n_chunks)
+        quota_pad = min(-(-quota // 128) * 128, -(-n0 // n_chunks))
+        pad_dev = jnp.asarray(pad)
+        dev, g_idx = fused_fn(pad_dev, np.int32(n0), np.int32(ax),
+                              quota_pad=quota_pad, n=n, n_chunks=n_chunks)
+        if ctx is not None:
+            ctx["feats_pad_dev"] = pad_dev
+            ctx["n_org"] = n0
+        if return_idx:
+            return dev, g_idx, np.asarray  # indices are already global
+        return dev
+
+    if mode == "chunked_host":
         n_chunks = _FPS_CHUNKS
         ax = int(np.argmax(feats[:, :3].var(axis=0)))
         order = np.argsort(feats[:, ax], kind="stable")

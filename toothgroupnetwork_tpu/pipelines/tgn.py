@@ -89,6 +89,7 @@ def _bdl_nn1_fn(org_pad, bdl_pad):
     global _bdl_nn1_jit
     if _bdl_nn1_jit is None:
         def fn(q, p):
+            q = q[:, :3]  # accept a [Npad,6] resident feats buffer
             pn = jnp.sum(p * p, axis=-1)
 
             def chunk(qc):
@@ -360,6 +361,10 @@ class TgnInferencePipeline:
         # worker processes; the device FPS sample always runs here
         org_feats, bdl_feats = _prep or prep_scan_host_tgn(stl_path,
                                                            self.n_sample)
+        # device-resident buffers shared across the scan's dispatches (the
+        # fused FPS stashes its padded upload; purity reuses it as the org
+        # cloud and stashes its own outputs for the final transfer)
+        device_ctx: dict = {}
         if self._spatial_sort:
             # sorted-cell locality for the super-row attention path needs a
             # host-side permutation of the sample — take the host FPS route
@@ -374,7 +379,7 @@ class TgnInferencePipeline:
             # the host copy is rebuilt from the ~100 KB sample INDEX (fetched
             # with stage-1's outputs) instead of fetching the 576 KB rows
             feats_dev, idx_dev, finalize = fps_sample_dev(
-                bdl_feats, self.n_sample, return_idx=True)
+                bdl_feats, self.n_sample, return_idx=True, ctx=device_ctx)
             sample_idx = (idx_dev, finalize, bdl_feats)
         n_vertices = org_feats.shape[0]
         t0 = self._t(timings, "mesh_prep", t0)
@@ -399,7 +404,6 @@ class TgnInferencePipeline:
         t0 = self._t(timings, "host_instancing", t0)
 
         # ---------------- boundary stage (bdl model) ----------------
-        device_ctx: dict = {}
         bdl_sampled, pseudo_labels, n_bd, nn1_idx, nn1_d2 = \
             boundary_sampled_feats(
                 ins_labels, bdl_feats, sampled,

@@ -52,7 +52,9 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
         from ..ops.gather import index_points
 
         def fn(org_xyz, sampled_xyz, labels, bdl_ratio, k):
-            sampled_xyz = sampled_xyz[:, :3]  # accept a [M,6] feats buffer
+            org_xyz = org_xyz[:, :3]          # accept [Np,6] feats buffers
+            sampled_xyz = sampled_xyz[:, :3]  # (the pipeline reuses resident
+            # uploads that carry all 6 channels; XLA slices for free)
             idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
                                 need_dist=False)
             # exact re-score of the leading candidates -> true 1-NN identity
@@ -107,9 +109,20 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
 
         bucket = 8192
         n_pad = -(-n0 // bucket) * bucket
-        pad = np.zeros((n_pad, 3), np.float32)
-        pad[:n0] = org_xyz
-        pad_dev = jnp.asarray(pad)
+        if (device_ctx is not None
+                and device_ctx.get("n_org") == n0
+                and "feats_pad_dev" in device_ctx
+                and device_ctx["feats_pad_dev"].shape[0] == n_pad):
+            # the mesh-prep FPS already shipped this cloud (fps_sample_dev's
+            # fused route stashes its padded buffer; for unsubdivided meshes
+            # — always true at this gate size — org IS the FPS source): reuse
+            # it instead of re-uploading ~1.2 MB. Consumers (_purity_device_fn,
+            # _masked_fps, tgn._bdl_nn1_fn) slice xyz in-program for free.
+            pad_dev = device_ctx["feats_pad_dev"]
+        else:
+            pad = np.zeros((n_pad, 3), np.float32)
+            pad[:n0] = org_xyz
+            pad_dev = jnp.asarray(pad)
         if sampled_dev is None:
             sampled_dev = jnp.asarray(
                 np.ascontiguousarray(sampled_xyz, np.float32))
@@ -161,6 +174,7 @@ def _masked_fps(org_pad_dev, bd_mask_dev, n_valid: int, n_bucket: int):
         from ..ops import farthest_point_sample
 
         def fn(xyz, bd, n_valid, n_bucket):
+            xyz = xyz[:, :3]  # accept a [Np,6] resident feats buffer
             ok = (jnp.arange(xyz.shape[0]) < n_valid) & ~bd
             return farthest_point_sample(xyz, n_bucket, ok)
 
