@@ -106,7 +106,7 @@ class TestBoundaryResample:
         labels = rng.integers(0, 17, 4000).astype(np.int32)
 
         k, bdl_ratio = 40, 0.7
-        bd_d, nn1_d, nn1_i, nn1_d2 = _purity_device_fn(
+        bd_d, nn1_d, nn1_i, nn1_d2, spec_fps = _purity_device_fn(
             jnp.asarray(org), jnp.asarray(sampled),
             jnp.asarray(labels.astype(np.uint8)), k, bdl_ratio)
         tree = cKDTree(sampled)
@@ -126,6 +126,21 @@ class TestBoundaryResample:
         agree = np.asarray(bd_d) == (ratio_h < bdl_ratio)
         assert agree[~near].all()
         assert agree.mean() > 0.99
+        # the speculative non-boundary FPS fused into the program must be a
+        # prefix-consistent exact FPS of the program's OWN non-boundary set.
+        # Random labels make nearly everything boundary above, so run a
+        # second purity call with a half-space label field (real boundary
+        # plane at x=0, plenty of non-boundary mass on both sides).
+        labels_hs = (sampled[:, 0] > 0).astype(np.uint8) + 1
+        bd_hs, _, _, _, spec_hs = _purity_device_fn(
+            jnp.asarray(org), jnp.asarray(sampled),
+            jnp.asarray(labels_hs), k, bdl_ratio)
+        bd_np = np.asarray(bd_hs)
+        m = min(512, int(np.count_nonzero(~bd_np)))
+        assert m > 100  # the half-space field must leave non-boundary mass
+        loc = np.asarray(farthest_point_sample(jnp.asarray(org[~bd_np]), m))
+        np.testing.assert_array_equal(np.asarray(spec_hs)[:m],
+                                      np.where(~bd_np)[0][loc])
 
     def test_masked_fps_matches_compacted_subset(self, rng):
         """_masked_fps (device FPS over the non-boundary subset, masked
@@ -189,6 +204,20 @@ class TestBoundaryResample:
         np.testing.assert_array_equal(dev_out, host_out)
         np.testing.assert_array_equal(dev_lab, host_lab)
 
+        # speculative route: a prefetched nonbd_fps_idx plane (as the TPU
+        # purity program returns) short-circuits the separate dispatch and
+        # must land on the same cloud
+        from toothgroupnetwork_tpu.postprocess.boundary import _masked_fps
+        spec = np.asarray(_masked_fps(ctx["org_pad_dev"],
+                                      ctx["bd_mask_dev"], n, 1024))
+        ctx2 = dict(ctx, nonbd_fps_idx=spec)
+        spec_out, spec_lab, spec_nbd = boundary_sampled_feats(
+            labels, feats, feats, bdl_ratio=0.7, num_bdl_points=500,
+            num_all_points=1000, device_ctx=ctx2)
+        assert spec_nbd == host_nbd
+        np.testing.assert_array_equal(spec_out, host_out)
+        np.testing.assert_array_equal(spec_lab, host_lab)
+
     def test_device_purity_accepts_feats_buffer(self, rng):
         """The pipeline passes its device-resident [M,6] FEATURE buffer as the
         sampled cloud (skipping a 288 KB re-upload); the kernel must slice
@@ -201,17 +230,17 @@ class TestBoundaryResample:
         org = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
         sampled = rng.uniform(-1, 1, (500, 6)).astype(np.float32)
         labels = rng.integers(0, 17, 500).astype(np.uint8)
-        bd6, l6, i6, d6 = _purity_device_fn(
+        bd6, l6, i6, d6, f6 = _purity_device_fn(
             jnp.asarray(org), jnp.asarray(sampled), jnp.asarray(labels),
             20, 0.7)
-        bd3, l3, i3, d3 = _purity_device_fn(
+        bd3, l3, i3, d3, f3 = _purity_device_fn(
             jnp.asarray(org), jnp.asarray(sampled[:, :3]),
             jnp.asarray(labels), 20, 0.7)
         np.testing.assert_array_equal(np.asarray(i6), np.asarray(i3))
         np.testing.assert_array_equal(np.asarray(bd6), np.asarray(bd3))
         # org side: the purity query reuses the fused-FPS [Np,6] upload
         org6 = np.concatenate([org, np.zeros_like(org)], -1)
-        bdo, lo, io, do = _purity_device_fn(
+        bdo, lo, io, do, fo = _purity_device_fn(
             jnp.asarray(org6), jnp.asarray(sampled), jnp.asarray(labels),
             20, 0.7)
         np.testing.assert_array_equal(np.asarray(io), np.asarray(i3))

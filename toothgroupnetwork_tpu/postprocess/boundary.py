@@ -18,12 +18,22 @@ from .clustering import first_label_ratio
 
 _purity_device_jit = None
 
+# speculative non-boundary FPS quota fused into the purity program: the
+# boundary mask is computed IN-program, so the "fill the 24k cloud from the
+# non-boundary rest" FPS (pipeline: need = 24000 - min(n_boundary, 20000),
+# i.e. need <= 4096 whenever the 20000 boundary cap binds — the common case
+# on full-size scans) can run right there and its index plane (16 KB) ride
+# the same fetch — one fewer dispatch + tunnel round trip per scan. Scans
+# with fewer boundary points fall back to the separate _masked_fps dispatch.
+_SPEC_FPS = 4096
+
 
 def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
-                      bdl_ratio: float = 0.7):
+                      bdl_ratio: float = 0.7, n_valid=None):
     """[Np,3] x [M,3] -> (bd_mask [Np] bool, nn1_label [Np] u8, nn1 [Np] i32,
-    nn1_d2 [Np] f32) on device: 40-NN label purity + 1-NN label, MXU distances
-    instead of a host KD-tree sweep. Jitted ONCE at module scope — a per-call
+    nn1_d2 [Np] f32, fps_idx [_SPEC_FPS] i32) on device: 40-NN label purity +
+    1-NN label + speculative non-boundary-fill FPS, MXU distances instead of
+    a host KD-tree sweep. Jitted ONCE at module scope — a per-call
     ``jax.jit(partial(...))`` wrapper would recompile the 100k x 24k graph on
     every scan (measured 21 s/scan).
 
@@ -48,10 +58,10 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
         import jax
         import jax.numpy as jnp
 
-        from ..ops import knn_points
+        from ..ops import farthest_point_sample, knn_points
         from ..ops.gather import index_points
 
-        def fn(org_xyz, sampled_xyz, labels, bdl_ratio, k):
+        def fn(org_xyz, sampled_xyz, labels, bdl_ratio, n_valid, k):
             org_xyz = org_xyz[:, :3]          # accept [Np,6] feats buffers
             sampled_xyz = sampled_xyz[:, :3]  # (the pipeline reuses resident
             # uploads that carry all 6 channels; XLA slices for free)
@@ -73,14 +83,19 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
             # nn1/nn1_d2 let the pipeline SKIP re-solving org->sampled in its
             # final 1-NN transfer (pipelines/tgn.py: the KD-tree then only
             # covers the <=20k boundary points instead of the 44k concat)
-            return (ratio < bdl_ratio, nn1_lab.astype(jnp.uint8),
-                    nn1, nn1_d2)
+            bd = ratio < bdl_ratio
+            ok = (jnp.arange(org_xyz.shape[0]) < n_valid) & ~bd
+            fps_idx = farthest_point_sample(org_xyz, _SPEC_FPS, ok)
+            return (bd, nn1_lab.astype(jnp.uint8), nn1, nn1_d2, fps_idx)
 
         _purity_device_jit = jax.jit(fn, static_argnames=("k",))
     import jax.numpy as jnp
 
+    if n_valid is None:
+        n_valid = org_xyz.shape[0]
     return _purity_device_jit(org_xyz, sampled_xyz, labels,
-                              jnp.float32(bdl_ratio), k=k)
+                              jnp.float32(bdl_ratio),
+                              jnp.int32(n_valid), k=k)
 
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
@@ -126,16 +141,20 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         if sampled_dev is None:
             sampled_dev = jnp.asarray(
                 np.ascontiguousarray(sampled_xyz, np.float32))
-        bd_mask, nn1_lab, nn1, nn1_d2 = _purity_device_fn(
+        bd_mask, nn1_lab, nn1, nn1_d2, fps_idx = _purity_device_fn(
             pad_dev, sampled_dev,
-            jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio)
+            jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio,
+            n_valid=n0)
         if device_ctx is not None:
             device_ctx["org_pad_dev"] = pad_dev
             device_ctx["bd_mask_dev"] = bd_mask  # device handle survives the fetch
             device_ctx["n_org"] = n0
             device_ctx["nn1_dev"] = nn1
             device_ctx["nn1_d2_dev"] = nn1_d2
-        bd_mask, nn1_lab = jax.device_get((bd_mask, nn1_lab))
+            bd_mask, nn1_lab, device_ctx["nonbd_fps_idx"] = jax.device_get(
+                (bd_mask, nn1_lab, fps_idx))
+        else:
+            bd_mask, nn1_lab = jax.device_get((bd_mask, nn1_lab))
         return (bd_mask[:n0], nn1_lab[:n0].astype(point_labels.dtype),
                 None, None)
 
@@ -226,7 +245,15 @@ def boundary_sampled_feats(
 
     need = num_all_points - bd_feats.shape[0]
     n_non_bd = org_feats.shape[0] - int(np.count_nonzero(bd_mask))
-    if (device_ctx is not None and "bd_mask_dev" in device_ctx
+    if (device_ctx is not None and "nonbd_fps_idx" in device_ctx
+            and n_non_bd > need and 0 < need <= _SPEC_FPS):
+        # the purity program already ran the non-boundary FPS speculatively
+        # and its index plane rode the purity fetch: a prefix of a longer
+        # FPS run IS the shorter run — zero extra dispatches or round trips
+        g_idx = device_ctx["nonbd_fps_idx"][:need]
+        non_bd_feats = org_feats[g_idx]
+        non_bd_labels = ps_labels[g_idx]
+    elif (device_ctx is not None and "bd_mask_dev" in device_ctx
             and n_non_bd > need and 0 < need <= _MASKED_FPS_MAX):
         # zero-upload device route: exact FPS over the non-boundary subset,
         # masked directly on the purity query's resident org cloud
