@@ -78,7 +78,7 @@ def setup_pipeline(dtype: str = "bfloat16", n_side: int = 317, seed: int = 1):
     real_stage1 = pipe._fps_stage1
 
     def plausible_stage1(feats):
-        cls_d, off_d = jax.block_until_ready(real_stage1(feats))  # real device work
+        cls_d, mv_d = jax.block_until_ready(real_stage1(feats))  # real device work
         xyz = np.asarray(feats[0, :, :3])
         t = np.linspace(-0.75, 0.75, 14)
         centers = np.stack([t, 0.35 * t ** 2 - 0.3,
@@ -86,14 +86,15 @@ def setup_pipeline(dtype: str = "bfloat16", n_side: int = 317, seed: int = 1):
         d = np.linalg.norm(xyz[:, None] - centers[None], axis=-1)
         nearest = d.argmin(1)
         is_tooth = d.min(1) < 0.12
-        cls = np.where(is_tooth, nearest % 8 + 1, 0).astype(np.int32)
+        cls = np.where(is_tooth, nearest % 8 + 1, 0).astype(np.uint8)
         off = np.where(is_tooth[:, None],
                        (centers[nearest] - xyz) * 0.9, 0.0)
         rngl = np.random.default_rng(0)
         off = off + rngl.normal(0, 0.004, off.shape)
+        # stage1 now returns (uint8 class ids, MOVED points) — mirror that.
         # numpy returns pass through _run_fps_stage's device_get untouched —
         # round-tripping them through jnp would add two phantom transfers
-        return cls[None], off[None].astype(np.float32)
+        return cls[None], (xyz + off)[None].astype(np.float32)
 
     pipe._fps_stage1 = plausible_stage1
     return pipe, obj_path
