@@ -654,3 +654,27 @@ class TestTwoLevelKNN:
         idx, _ = knn_two_level(jnp.asarray(q), jnp.asarray(pts), 8,
                                jnp.asarray(valid), n_anchors=128, n_cand=64)
         assert np.all(np.asarray(idx) % 2 == 1)
+
+
+class TestF16Upload:
+    def test_fused_f16_upload_matches_quantized_host(self, rng, monkeypatch):
+        """TGN_TPU_UPLOAD=f16 (the TPU default) ships the fused-FPS padded
+        buffer as float16; the device-side selection must equal the host
+        chunked algorithm run on the same f16-quantized cloud, and the
+        gathered rows must be the quantized rows (all consumers cast back to
+        f32 in-program)."""
+        from toothgroupnetwork_tpu.pipelines.base import (
+            fps_sample_idx_chunked, fps_sample_dev)
+
+        feats = rng.standard_normal((40000, 6)).astype(np.float32)
+        q = feats.astype(np.float16).astype(np.float32)
+        monkeypatch.setenv("TGN_FPS_SAMPLE", "chunked")
+        monkeypatch.setenv("TGN_TPU_UPLOAD", "f16")
+        ctx = {}
+        dev, idx_dev, finalize = fps_sample_dev(feats, 2048, return_idx=True,
+                                                ctx=ctx)
+        gidx = finalize(np.asarray(idx_dev))
+        want_idx = fps_sample_idx_chunked(q[:, :3], 2048)
+        np.testing.assert_array_equal(gidx, want_idx)
+        np.testing.assert_array_equal(np.asarray(dev), q[gidx])
+        assert np.asarray(ctx["feats_pad_dev"]).dtype == np.float16

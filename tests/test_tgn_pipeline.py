@@ -408,3 +408,65 @@ class TestBdlNn1Device:
                                                jnp.asarray(pad)))
         np.testing.assert_array_equal(idx6, idx)
         np.testing.assert_array_equal(d26, d2)
+
+    def test_sel_variant_matches_row_upload(self, rng):
+        """_bdl_nn1_sel_fn (in-program gather of the boundary cloud from the
+        resident padded org upload via the bdl_sel index) must bit-match the
+        row-upload route, and the device-gathered bdl cloud must equal the
+        host-built one."""
+        import jax.numpy as jnp
+
+        from toothgroupnetwork_tpu.pipelines.tgn import (_bdl_nn1_fn,
+                                                         _bdl_nn1_sel_fn)
+
+        n_org, n_pad, num_bdl, n_all = 5000, 8192, 2048, 3072
+        org = rng.standard_normal((n_org, 6)).astype(np.float32)
+        org_pad = np.zeros((n_pad, 6), np.float32)
+        org_pad[:n_org] = org
+        n_bd = 1500
+        sel = rng.permutation(n_org)[:n_all].astype(np.int32)
+
+        # host route: sentinel-padded boundary rows
+        pad = np.full((num_bdl, 3), 1e6, np.float32)
+        pad[:n_bd] = org[sel[:n_bd], :3]
+        idx_h, d2_h = jax.device_get(
+            _bdl_nn1_fn(jnp.asarray(org_pad), jnp.asarray(pad)))
+        idx_s, d2_s = jax.device_get(
+            _bdl_nn1_sel_fn(jnp.asarray(org_pad), jnp.asarray(sel),
+                            n_bd, num_bdl))
+        np.testing.assert_array_equal(idx_s, idx_h)
+        np.testing.assert_array_equal(d2_s, d2_h)
+
+        # the device-gathered cloud (bdl_fused_sel's input) == host rows
+        np.testing.assert_array_equal(
+            np.asarray(jnp.take(jnp.asarray(org_pad), jnp.asarray(sel),
+                                axis=0)), org[sel])
+
+    def test_boundary_resample_stashes_global_sel(self, rng):
+        """boundary_sampled_feats must stash a device_ctx['bdl_sel'] whose
+        org_feats gather reproduces the returned cloud exactly (the pipeline
+        re-materializes the cloud on device from this index)."""
+        import jax.numpy as jnp
+
+        from toothgroupnetwork_tpu.postprocess.boundary import (
+            _boundary_purity, boundary_sampled_feats)
+
+        n = 3000
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        labels = (pts[:, 0] > 0).astype(np.int64) + 1
+        feats = np.concatenate([pts, rng.standard_normal((n, 3))],
+                               -1).astype(np.float32)
+        bd_mask, _, _, _ = _boundary_purity(pts, pts, labels, 40, 0.7)
+        n_pad = 4096
+        pad = np.zeros((n_pad, 3), np.float32)
+        pad[:n] = pts
+        bd_pad = np.zeros(n_pad, bool)
+        bd_pad[:n] = bd_mask
+        ctx = {"org_pad_dev": jnp.asarray(pad),
+               "bd_mask_dev": jnp.asarray(bd_pad), "n_org": n}
+        out, lab, n_bd = boundary_sampled_feats(
+            labels, feats, feats, bdl_ratio=0.7, num_bdl_points=500,
+            num_all_points=1000, device_ctx=ctx)
+        sel = ctx["bdl_sel"]
+        assert sel.shape == (1000,) and sel.dtype == np.int32
+        np.testing.assert_array_equal(feats[sel], out)

@@ -38,10 +38,21 @@ for mb in (0.5, 3.0):
     dt = timeit(lambda: jax.device_put(x).block_until_ready(), n=10)
     print(f"upload {mb:4.1f} MB:          {dt:7.1f} ms  ({mb / dt * 1e3:6.0f} MB/s)")
 
-# download bandwidth
+# download bandwidth — fetch a FRESH device-computed array each iteration:
+# re-fetching one resident array measures the client's host-side cache (a
+# device_put'd or once-fetched array costs ~0 ms; round-2's "downloads are
+# free" reading was this artifact)
+_dl = jax.jit(lambda x, s: x + s)
 for mb in (0.5, 3.0):
-    d = jnp.ones((int(mb * 262144),), jnp.float32).block_until_ready()
-    dt = timeit(lambda: np.asarray(d), n=10)
+    d0 = jax.device_put(np.ones((int(mb * 262144),), np.float32))
+    _dl(d0, 0.0).block_until_ready()
+    cnt = [0.0]
+
+    def fetch_fresh():
+        cnt[0] += 1.0
+        return np.asarray(_dl(d0, cnt[0]))
+
+    dt = timeit(fetch_fresh, n=10)
     print(f"download {mb:4.1f} MB:        {dt:7.1f} ms  ({mb / dt * 1e3:6.0f} MB/s)")
 
 # does a tuple fetch pay one RTT or k?

@@ -161,8 +161,12 @@ def knn_points(
     # width halves that traffic. Candidate membership under bf16 rounding
     # stays within the accepted approx recall (set-overlap contract-tested);
     # returned distances are already documented selection-precision here.
+    # default ON since round 3: A/B at the purity shape ([104k x 24k] k=40)
+    # measured host_boundary_resample 252 -> 222 ms/scan with pipeline-level
+    # parity (the exact nn1 re-score downstream is unaffected); opt out with
+    # TGN_TPU_KNN_SEL=f32
     sel_bf16 = (approx and not need_dist
-                and os.environ.get("TGN_TPU_KNN_SEL", "f32") == "bf16")
+                and os.environ.get("TGN_TPU_KNN_SEL", "bf16") == "bf16")
 
     def one_chunk(args):
         qc, qi = args

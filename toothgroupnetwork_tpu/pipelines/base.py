@@ -185,6 +185,7 @@ def _fps_gather_jits():
 
         @partial(jax.jit, static_argnames=("quota_pad", "n", "n_chunks"))
         def fused(feats_pad, n0, ax, quota_pad, n, n_chunks):
+            feats_pad = feats_pad.astype(jnp.float32)  # accept an f16 upload
             # Device-side two-level FPS: the spatial partition (stable sort by
             # the host-chosen axis, equal-VALID-count slabs of
             # ceil(n0/n_chunks)) runs INSIDE the program, so the host uploads
@@ -265,10 +266,22 @@ def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False,
         # sort/slab/scatter happen in-program (see _fps_gather_jits.fused).
         # The padded buffer is stashed in ``ctx`` for downstream reuse (the
         # tgn pipeline's purity query reads its xyz prefix as the org cloud).
+        # The upload ships f16 by default on TPU (TGN_TPU_UPLOAD=f32 opts
+        # out): it halves the dominant ~2.5 MB/scan tunnel upload
+        # (~16-30 MB/s), and the ~5e-4 quantization at unit scale is ~10x
+        # below the ~0.005 vertex spacing of a 100k-vertex scan — every
+        # device consumer casts back to f32 in-program, so all derived
+        # quantities (FPS selection, purity ratio, nn1 d2 tie-breaks) are
+        # internally consistent on the same quantized cloud.
+        import os
+
         n_chunks = _FPS_CHUNKS
         ax = int(np.argmax(feats[:, :3].var(axis=0)))
         n_pad = -(-n0 // _FPS_BUCKET) * _FPS_BUCKET
-        pad = np.zeros((n_pad, feats.shape[1]), np.float32)
+        up_dt = (np.float16 if os.environ.get(
+            "TGN_TPU_UPLOAD", "f16" if on_dev else "f32") == "f16"
+            else np.float32)
+        pad = np.zeros((n_pad, feats.shape[1]), up_dt)
         pad[:n0] = feats
         quota = -(-n // n_chunks)
         quota_pad = min(-(-quota // 128) * 128, -(-n0 // n_chunks))

@@ -71,6 +71,56 @@ def _aggregate_crop_votes(sem2: np.ndarray, crop_idx: np.ndarray,
 
 
 _bdl_nn1_jit = None
+_bdl_nn1_sel_jit = None
+
+
+def _nn1_chunked(q, p):
+    """Shared body of the boundary-half 1-NN: chunked exact 1-NN of the
+    (padded) query rows into the (sentinel-padded) boundary cloud."""
+    q = q[:, :3].astype(jnp.float32)  # accept a [Npad,6] (maybe f16) buffer
+    p = p.astype(jnp.float32)
+    pn = jnp.sum(p * p, axis=-1)
+
+    def chunk(qc):
+        d2 = (jnp.sum(qc * qc, -1, keepdims=True)
+              - 2.0 * jnp.matmul(qc, p.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + pn[None, :])
+        _, cand = jax.lax.top_k(-d2, 4)              # [C, 4]
+        delta = qc[:, None, :] - jnp.take(p, cand.reshape(-1), axis=0
+                                          ).reshape(cand.shape + (3,))
+        d2x = jnp.sum(delta * delta, -1)
+        best = jnp.argmin(d2x, -1)
+        idx = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        dd = jnp.take_along_axis(d2x, best[:, None], -1)[:, 0]
+        return idx.astype(jnp.int32), dd
+
+    qs = q.reshape(-1, 4096, 3)
+    idx, dd = jax.lax.map(chunk, qs)
+    return idx.reshape(-1), dd.reshape(-1)
+
+
+def _bdl_nn1_sel_fn(org_pad, sel, n_bd, num_bdl: int):
+    """Zero-row-upload variant of :func:`_bdl_nn1_fn`: the boundary cloud is
+    gathered IN-PROGRAM from the resident padded org upload via the
+    ``device_ctx['bdl_sel']`` row index (first ``num_bdl`` entries are the
+    boundary half; rows >= ``n_bd`` get the 1e6 sentinel so they never win).
+    Upload per scan: the [24000] i32 sel plane (~96 KB, shared with the fused
+    bdl forward) instead of the [20000, 3] f32 boundary rows (~240 KB)."""
+    global _bdl_nn1_sel_jit
+    if _bdl_nn1_sel_jit is None:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("num_bdl",))
+        def fn(org_pad, sel, n_bd, num_bdl):
+            rows = jnp.take(org_pad[:, :3], sel[:num_bdl],
+                            axis=0).astype(jnp.float32)
+            live = jnp.arange(num_bdl) < n_bd
+            p = jnp.where(live[:, None], rows, 1e6)
+            return _nn1_chunked(org_pad, p)
+
+        _bdl_nn1_sel_jit = fn
+    return _bdl_nn1_sel_jit(org_pad, sel, jnp.int32(n_bd), num_bdl=num_bdl)
 
 
 def _bdl_nn1_fn(org_pad, bdl_pad):
@@ -88,29 +138,7 @@ def _bdl_nn1_fn(org_pad, bdl_pad):
     one executable per (Npad bucket, P) pair."""
     global _bdl_nn1_jit
     if _bdl_nn1_jit is None:
-        def fn(q, p):
-            q = q[:, :3]  # accept a [Npad,6] resident feats buffer
-            pn = jnp.sum(p * p, axis=-1)
-
-            def chunk(qc):
-                d2 = (jnp.sum(qc * qc, -1, keepdims=True)
-                      - 2.0 * jnp.matmul(qc, p.T,
-                                         precision=jax.lax.Precision.HIGHEST)
-                      + pn[None, :])
-                _, cand = jax.lax.top_k(-d2, 4)              # [C, 4]
-                delta = qc[:, None, :] - jnp.take(p, cand.reshape(-1), axis=0
-                                                  ).reshape(cand.shape + (3,))
-                d2x = jnp.sum(delta * delta, -1)
-                best = jnp.argmin(d2x, -1)
-                idx = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
-                dd = jnp.take_along_axis(d2x, best[:, None], -1)[:, 0]
-                return idx.astype(jnp.int32), dd
-
-            qs = q.reshape(-1, 4096, 3)
-            idx, dd = jax.lax.map(chunk, qs)
-            return idx.reshape(-1), dd.reshape(-1)
-
-        _bdl_nn1_jit = jax.jit(fn)
+        _bdl_nn1_jit = jax.jit(_nn1_chunked)
     return _bdl_nn1_jit(org_pad, bdl_pad)
 
 
@@ -211,7 +239,10 @@ class TgnInferencePipeline:
             # the offsets ship pre-added (moved = xyz + offset) because the
             # host only ever clusters the MOVED points
             cls = jnp.argmax(out["sem_1"], -1).astype(jnp.uint8)
-            moved = feats[..., :3] + out["offset_1"]
+            # f16 fetch: moved only feeds host DBSCAN/MeanShift (eps=.03,
+            # bandwidth .07) — f16's ~5e-4 resolution at unit scale is 60x
+            # below eps; halves the 288 KB plane through the ~16-30 MB/s tunnel
+            moved = (feats[..., :3] + out["offset_1"]).astype(jnp.float16)
             return cls, moved
 
         def stage2(module, variables, feats, cents, valid):
@@ -232,16 +263,28 @@ class TgnInferencePipeline:
             # stages) is pure overhead here (~2 tunnel round trips saved).
             out1 = self.bdl_module.apply(self.bdl_vars, feats, None,
                                          method=TGNet.stage1)
-            moved = feats[0, :, :3] + out1["offset_1"][0]
+            # f16 fetch: moved only feeds the host KMeans instancing
+            moved = (feats[0, :, :3] + out1["offset_1"][0]
+                     ).astype(jnp.float16)
             whole_mask = stage2(self.bdl_module, self.bdl_vars, feats,
                                 cents, valid)
             return moved, whole_mask
+
+        def bdl_fused_sel(org_pad, sel, cents, valid):
+            # zero-row-upload variant: the boundary cloud is gathered
+            # in-program from the resident padded org upload via the
+            # device_ctx['bdl_sel'] index (~96 KB upload, shared with the
+            # boundary-half 1-NN) instead of re-uploading the 576 KB rows
+            feats = jnp.take(org_pad, sel, axis=0
+                             )[None].astype(jnp.float32)
+            return bdl_fused(feats, cents, valid)
 
         self._fps_stage1 = jax.jit(
             lambda f: stage1(self.fps_module, self.fps_vars, f))
         self._fps_stage2 = jax.jit(
             lambda f, c, v: stage2(self.fps_module, self.fps_vars, f, c, v))
         self._bdl_fused = jax.jit(bdl_fused)
+        self._bdl_fused_sel = jax.jit(bdl_fused_sel)
 
         # Per-phase wall time of the LAST COMPLETED __call__, seconds
         # (SURVEY.md §5 tracing/profiling — the reference pipeline has no
@@ -284,6 +327,7 @@ class TgnInferencePipeline:
                 (feats_dev, cls_1[0], moved[0]))
             feats_np = np.asarray(feats_np)
         cls_1 = cls_1.astype(np.int32)
+        moved = np.asarray(moved, np.float32)  # f16 tunnel fetch -> host f32
         t0 = self._t(timings, "fps:stage1_device", t0)
         xyz = feats_np[:, :3]
         centroids = crop_centroids_from(cls_1, moved, xyz)
@@ -417,12 +461,25 @@ class TgnInferencePipeline:
         # reusing the purity query's resident org upload) so it overlaps the
         # host centroid/fusion work below; host cKDTree fallback otherwise
         nn1_b_fut = None
+        # sel route: org_pad_dev is the 6-channel mesh-prep upload AND the
+        # resample rows index it directly — the bdl cloud re-materializes on
+        # device from the ~96 KB 'bdl_sel' index plane (uploaded once, shared
+        # by the 1-NN below and the fused bdl forward)
+        sel_dev = None
+        if ("bdl_sel" in device_ctx and "feats_pad_dev" in device_ctx
+                and device_ctx.get("org_pad_dev")
+                is device_ctx["feats_pad_dev"]):
+            sel_dev = jnp.asarray(device_ctx["bdl_sel"])
+        num_bdl = self.boundary_info["num_of_bdl_points"]
         if n_bd and "org_pad_dev" in device_ctx:
-            num_bdl = self.boundary_info["num_of_bdl_points"]
-            bdl_pad = np.full((num_bdl, 3), 1e6, np.float32)
-            bdl_pad[:n_bd] = bdl_sampled[:n_bd, :3]
-            nn1_b_fut = _bdl_nn1_fn(device_ctx["org_pad_dev"],
-                                    jnp.asarray(bdl_pad))
+            if sel_dev is not None:
+                nn1_b_fut = _bdl_nn1_sel_fn(device_ctx["org_pad_dev"],
+                                            sel_dev, n_bd, num_bdl)
+            else:
+                bdl_pad = np.full((num_bdl, 3), 1e6, np.float32)
+                bdl_pad[:n_bd] = bdl_sampled[:n_bd, :3]
+                nn1_b_fut = _bdl_nn1_fn(device_ctx["org_pad_dev"],
+                                        jnp.asarray(bdl_pad))
         t0 = self._t(timings, "host_boundary_resample", t0)
 
         # bdl crop centroids come from the pseudo labels (host-known BEFORE
@@ -431,9 +488,14 @@ class TgnInferencePipeline:
         bdl_cents = [xyz_b[pseudo_in == i].mean(axis=0)
                      for i in np.unique(pseudo_in) if i != -1]
         cents_b, valid_b, _ = _pad_centroids(bdl_cents)
-        moved_b, whole_mask_b = jax.device_get(self._bdl_fused(
-            jnp.asarray(bdl_sampled[None]), cents_b, valid_b))
-        moved_b, whole_mask_b = np.asarray(moved_b), np.asarray(whole_mask_b)
+        if sel_dev is not None:
+            moved_b, whole_mask_b = jax.device_get(self._bdl_fused_sel(
+                device_ctx["org_pad_dev"], sel_dev, cents_b, valid_b))
+        else:
+            moved_b, whole_mask_b = jax.device_get(self._bdl_fused(
+                jnp.asarray(bdl_sampled[None]), cents_b, valid_b))
+        moved_b = np.asarray(moved_b, np.float32)
+        whole_mask_b = np.asarray(whole_mask_b)
         t0 = self._t(timings, "bdl:fused_device", t0)
 
         n_clusters = len(np.unique(pseudo_in)) - 1

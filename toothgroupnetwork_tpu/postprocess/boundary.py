@@ -62,9 +62,11 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
         from ..ops.gather import index_points
 
         def fn(org_xyz, sampled_xyz, labels, bdl_ratio, n_valid, k):
-            org_xyz = org_xyz[:, :3]          # accept [Np,6] feats buffers
-            sampled_xyz = sampled_xyz[:, :3]  # (the pipeline reuses resident
-            # uploads that carry all 6 channels; XLA slices for free)
+            # accept [Np,6] feats buffers (the pipeline reuses resident
+            # uploads that carry all 6 channels; XLA slices for free) and
+            # f16 uploads (TGN_TPU_UPLOAD=f16 halves the tunnel bytes)
+            org_xyz = org_xyz[:, :3].astype(jnp.float32)
+            sampled_xyz = sampled_xyz[:, :3].astype(jnp.float32)
             idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
                                 need_dist=False)
             # exact re-score of the leading candidates -> true 1-NN identity
@@ -193,7 +195,8 @@ def _masked_fps(org_pad_dev, bd_mask_dev, n_valid: int, n_bucket: int):
         from ..ops import farthest_point_sample
 
         def fn(xyz, bd, n_valid, n_bucket):
-            xyz = xyz[:, :3]  # accept a [Np,6] resident feats buffer
+            # accept a [Np,6] (possibly f16) resident feats buffer
+            xyz = xyz[:, :3].astype(jnp.float32)
             ok = (jnp.arange(xyz.shape[0]) < n_valid) & ~bd
             return farthest_point_sample(xyz, n_bucket, ok)
 
@@ -237,11 +240,13 @@ def boundary_sampled_feats(
         org_feats[:, :3].astype(np.float32), sampled_feats[:, :3],
         point_labels, k, bdl_ratio, device_ctx, sampled_dev=sampled_xyz_dev)
 
+    bd_global = np.flatnonzero(bd_mask)
     bd_feats = org_feats[bd_mask]
     bd_labels = ps_labels[bd_mask]
     # uniform resample of boundary points to num_bdl_points (truncates when fewer)
     perm = rng.permutation(bd_feats.shape[0])[:num_bdl_points]
-    bd_feats, bd_labels = bd_feats[perm], bd_labels[perm]
+    bd_feats, bd_labels, bd_global = (bd_feats[perm], bd_labels[perm],
+                                      bd_global[perm])
 
     need = num_all_points - bd_feats.shape[0]
     n_non_bd = org_feats.shape[0] - int(np.count_nonzero(bd_mask))
@@ -253,6 +258,7 @@ def boundary_sampled_feats(
         g_idx = device_ctx["nonbd_fps_idx"][:need]
         non_bd_feats = org_feats[g_idx]
         non_bd_labels = ps_labels[g_idx]
+        nb_global = g_idx
     elif (device_ctx is not None and "bd_mask_dev" in device_ctx
             and n_non_bd > need and 0 < need <= _MASKED_FPS_MAX):
         # zero-upload device route: exact FPS over the non-boundary subset,
@@ -265,6 +271,7 @@ def boundary_sampled_feats(
             device_ctx["n_org"], n_bucket)))[:need]
         non_bd_feats = org_feats[g_idx]
         non_bd_labels = ps_labels[g_idx]
+        nb_global = g_idx
     elif n_non_bd > need:
         from ..pipelines.base import fps_sample_idx
 
@@ -274,6 +281,7 @@ def boundary_sampled_feats(
         # unbucketed call would recompile for every distinct size
         idx = fps_sample_idx(non_bd_feats[:, :3], need)
         non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
+        nb_global = np.flatnonzero(~bd_mask)[idx]
     else:
         non_bd_feats = org_feats[~bd_mask]
         non_bd_labels = ps_labels[~bd_mask]
@@ -282,6 +290,7 @@ def boundary_sampled_feats(
                             need - non_bd_feats.shape[0])
         idx = np.concatenate([np.arange(non_bd_feats.shape[0]), reps])
         non_bd_feats, non_bd_labels = non_bd_feats[idx], non_bd_labels[idx]
+        nb_global = np.flatnonzero(~bd_mask)[idx]
 
     if spatial_sort:
         # sort WITHIN each segment (boundary block, then rest) so the
@@ -292,13 +301,22 @@ def boundary_sampled_feats(
 
         if bd_feats.shape[0]:
             o = spatial_sort_perm(bd_feats[:, :3])
-            bd_feats, bd_labels = bd_feats[o], bd_labels[o]
+            bd_feats, bd_labels, bd_global = (bd_feats[o], bd_labels[o],
+                                              bd_global[o])
         if non_bd_feats.shape[0]:
             o = spatial_sort_perm(non_bd_feats[:, :3])
             non_bd_feats, non_bd_labels = non_bd_feats[o], non_bd_labels[o]
+            nb_global = nb_global[o]
 
     feats = np.concatenate([bd_feats, non_bd_feats], axis=0)
     labels = np.concatenate([bd_labels, non_bd_labels], axis=0)
+    if device_ctx is not None:
+        # global org_feats row index of every output row — lets the pipeline
+        # re-materialize this cloud ON DEVICE by gathering the resident padded
+        # upload (96 KB index upload instead of the 576 KB row re-upload;
+        # tunnel at ~16-30 MB/s makes that ~30-40 ms/scan)
+        device_ctx["bdl_sel"] = np.concatenate(
+            [bd_global, nb_global]).astype(np.int32)
     if return_nn1:
         return (feats.astype(np.float32), labels, bd_feats.shape[0],
                 nn1_idx, nn1_d2)
