@@ -50,6 +50,23 @@ class TestMaskedBatchNorm:
         np.testing.assert_allclose(valid.mean(0), 0.0, atol=1e-4)
         np.testing.assert_allclose(valid.std(0), 1.0, atol=1e-2)
 
+    def test_empty_mask_is_identity_stats(self, rng):
+        """Fully-empty mask (zero valid crops in the whole batch) must not
+        normalize by var=0 (1/sqrt(eps) ~ 316x would explode deep stacks to
+        inf/NaN even on loss-masked rows) nor pollute running stats."""
+        x = rng.standard_normal((4, 8, 4)).astype(np.float32) * 100
+        mask = np.zeros((4, 8), bool)
+        bn = MaskedBatchNorm()
+        variables = bn.init(jax.random.PRNGKey(0), jnp.array(x),
+                            jnp.array(mask), True)
+        y, mutated = bn.apply(variables, jnp.array(x), jnp.array(mask), True,
+                              mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-2)  # ~identity
+        np.testing.assert_allclose(
+            np.asarray(mutated["batch_stats"]["mean"]), 0.0, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(mutated["batch_stats"]["var"]), 1.0, atol=0)
+
     def test_eval_uses_running_stats(self, rng):
         x = rng.standard_normal((1, 20, 4)).astype(np.float32)
         bn = MaskedBatchNorm()

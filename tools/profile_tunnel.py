@@ -38,21 +38,24 @@ for mb in (0.5, 3.0):
     dt = timeit(lambda: jax.device_put(x).block_until_ready(), n=10)
     print(f"upload {mb:4.1f} MB:          {dt:7.1f} ms  ({mb / dt * 1e3:6.0f} MB/s)")
 
-# download bandwidth — fetch a FRESH device-computed array each iteration:
-# re-fetching one resident array measures the client's host-side cache (a
-# device_put'd or once-fetched array costs ~0 ms; round-2's "downloads are
-# free" reading was this artifact)
+# download bandwidth — fetch FRESH device-computed arrays (re-fetching one
+# resident array measures the client's host-side cache: a device_put'd or
+# once-fetched array costs ~0 ms; round-2's "downloads are free" reading was
+# this artifact). The fresh results are PRE-DISPATCHED before the timed
+# region so each sample pays the transfer, not transfer + a ~25 ms execute
+# dispatch RTT (round-3 advisor: timing np.asarray(_dl(...)) per iteration
+# roughly doubled the apparent per-MB cost at 0.5 MB).
 _dl = jax.jit(lambda x, s: x + s)
 for mb in (0.5, 3.0):
     d0 = jax.device_put(np.ones((int(mb * 262144),), np.float32))
     _dl(d0, 0.0).block_until_ready()
-    cnt = [0.0]
-
-    def fetch_fresh():
-        cnt[0] += 1.0
-        return np.asarray(_dl(d0, cnt[0]))
-
-    dt = timeit(fetch_fresh, n=10)
+    n_dl = 10
+    results = [_dl(d0, float(i + 1)) for i in range(n_dl + 1)]
+    np.asarray(results[0])  # sync: all dispatches complete behind this one
+    t0 = time.perf_counter()
+    for r in results[1:]:
+        np.asarray(r)
+    dt = (time.perf_counter() - t0) / n_dl * 1e3
     print(f"download {mb:4.1f} MB:        {dt:7.1f} ms  ({mb / dt * 1e3:6.0f} MB/s)")
 
 # does a tuple fetch pay one RTT or k?

@@ -19,10 +19,11 @@ from ..nn.layers import MaskedBatchNorm, masked_max
 from ..ops import index_points, knn_points
 
 
-def edge_conv_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
+def edge_conv_feature(x: jnp.ndarray, k: int, mask=None,
+                      sel_bf16: bool = False) -> jnp.ndarray:
     """[B, N, C] → [B, N, K, 2C] EdgeConv tensor ``[x_j − x_i, x_i]``."""
     idx, _ = knn_points(x, x, k, mask, mask, include_self=True,
-                        need_dist=False)
+                        need_dist=False, sel_bf16=sel_bf16)
     neigh = index_points(x, idx)  # [B, N, K, C]
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
@@ -58,11 +59,11 @@ class DGCNNSeg(nn.Module):
     @nn.compact
     def __call__(self, feat, mask=None, train: bool = True):
         x1 = EdgeConvBlock((64, 64), name="ec1")(
-            edge_conv_feature(feat, self.k, mask), mask, train)
+            edge_conv_feature(feat, self.k, mask, not train), mask, train)
         x2 = EdgeConvBlock((64, 64), name="ec2")(
-            edge_conv_feature(x1, self.k, mask), mask, train)
+            edge_conv_feature(x1, self.k, mask, not train), mask, train)
         x3 = EdgeConvBlock((64,), name="ec3")(
-            edge_conv_feature(x2, self.k, mask), mask, train)
+            edge_conv_feature(x2, self.k, mask, not train), mask, train)
 
         x = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 192]
         x = nn.Dense(self.emb_dims, use_bias=False, name="emb")(x)

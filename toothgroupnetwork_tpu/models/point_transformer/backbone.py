@@ -267,7 +267,7 @@ class TransitionDown(nn.Module):
         new_mask = (index_points(mask[..., None].astype(jnp.float32), fps_idx)
                     [..., 0] > 0) if mask is not None else None
         idx, _ = knn_points(new_p, p, self.nsample, new_mask, mask,
-                            need_dist=False)
+                            need_dist=False, sel_bf16=not train)
         grouped_x = index_points(x, idx)
         grouped_p = index_points(p, idx) - new_p[..., None, :]
         grouped = jnp.concatenate([grouped_p, grouped_x], axis=-1)
@@ -440,7 +440,8 @@ class PointTransformerSeg(nn.Module):
                             if sorted_chain else None)
             else:
                 knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
-                                        include_self=True, need_dist=False)
+                                        include_self=True, need_dist=False,
+                                        sel_bf16=not train)
                 cell_ctx = (self._cell_ctx(p, knn_idx, train)
                             if sorted_chain else None)
                 # relative-position gather hoisted: shared by every block in
@@ -503,7 +504,8 @@ class PointTransformerSeg(nn.Module):
                     jnp.arange(npts, dtype=jnp.int32)[None, :], (bsz, npts)))
             else:
                 idx, _ = knn_points(p0, up_stages[i]["p"], 1, m0,
-                                    up_stages[i]["mask"], need_dist=False)
+                                    up_stages[i]["mask"], need_dist=False,
+                                    sel_bf16=not train)
                 up1_idx.append(idx[..., 0])  # [B, N] nearest stage-i point
 
         cls_logits, _ = MultiHead(self.k, self.base_fdim, self.dtype,

@@ -404,7 +404,8 @@ def _build_tsegnet(cfg: TrainConfig):
     return TSegNetModule(
         crop_size=cfg.model_parameter.get("crop_sample_size", 3072),
         run_seg_module=cfg.model_parameter.get(
-            "run_tooth_segmentation_module", True))
+            "run_tooth_segmentation_module", True),
+        tiny_backbone=cfg.model_parameter.get("tiny_backbone", False))
 
 
 register_task(ModelTask(

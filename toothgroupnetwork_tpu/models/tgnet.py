@@ -67,7 +67,7 @@ def gt_tooth_centroids(xyz: jnp.ndarray, labels: jnp.ndarray,
 
 def make_crops(feat: jnp.ndarray, centroids: jnp.ndarray, crop_valid: jnp.ndarray,
                crop_size: int, mask: jnp.ndarray | None = None,
-               extra: jnp.ndarray | None = None):
+               extra: jnp.ndarray | None = None, sel_bf16: bool = False):
     """Nearest-``crop_size`` crops around each centroid, xyz recentered per crop.
 
     Args:
@@ -81,7 +81,7 @@ def make_crops(feat: jnp.ndarray, centroids: jnp.ndarray, crop_valid: jnp.ndarra
     b, n, c = feat.shape
     k = centroids.shape[1]
     idx, _ = knn_points(centroids, feat[..., :3], crop_size,
-                        None, mask, need_dist=False)                                # [B,K,S]
+                        None, mask, need_dist=False, sel_bf16=sel_bf16)  # [B,K,S]
     crop = index_points(feat, idx)                                 # [B,K,S,C]
     xyz = crop[..., :3]
     xyz = xyz - jnp.mean(xyz, axis=2, keepdims=True)               # per-crop center
@@ -130,7 +130,8 @@ class TGNet(nn.Module):
         out1 = self.first_ins_cent_model(feat, mask, train)
         centroids, crop_valid = gt_tooth_centroids(feat[..., :3], labels, mask)
         crop_feat, crop_mask, crop_idx, crop_labels = make_crops(
-            feat, centroids, crop_valid, self.crop_size, mask, extra=labels)
+            feat, centroids, crop_valid, self.crop_size, mask, extra=labels,
+            sel_bf16=not train)
         out2 = self.second_ins_cent_model(crop_feat, crop_mask, train)
         return {
             "sem_1": out1["sem_1"],

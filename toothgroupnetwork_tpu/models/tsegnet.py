@@ -37,25 +37,47 @@ N_CROPS_TRAIN = 8
 
 class PointNetPPBackbone(nn.Module):
     """The shared MSG backbone (scale=1) + FP decoder used by both tsegnet modules
-    (identical layer dims to tsg_centroid_module.py:10-21 / tsg_seg_module.py:11-18)."""
+    (identical layer dims to tsg_centroid_module.py:10-21 / tsg_seg_module.py:11-18).
+
+    ``tiny=True`` swaps in a structurally-identical but minimal arch (3 MSG SA
+    levels with 2 scales each + 3 FPs, tiny widths/center counts) for compile-
+    bound contexts — the driver's virtual-8-device ``dryrun_multichip`` proves
+    SHARDING semantics, which are arch-size-independent; the full graph (two seg
+    towers + centroid backbone, each 6 MSG scale blocks, differentiated) was
+    compile-bound >460 s on 8 virtual CPU devices (round-3 MULTICHIP rc=124).
+    Production configs never set it.
+    """
+
+    tiny: bool = False
 
     @nn.compact
     def __call__(self, feat, mask=None, train: bool = True):
+        if self.tiny:
+            sa_spec = [
+                (32, [0.05, 0.1], [4, 8], [[8, 8], [8, 8]]),
+                (16, [0.1, 0.2], [4, 8], [[8, 16], [8, 16]]),
+                (8, [0.2, 0.4], [4, 8], [[16, 16], [16, 16]]),
+            ]
+            fp_spec = [[16, 16], [16, 16], [16, 8]]
+        else:
+            sa_spec = [
+                (1024, [0.025, 0.05], [32, 64], [[32, 32], [32, 32]]),
+                (512, [0.05, 0.1], [32, 64], [[64, 128], [64, 128]]),
+                (256, [0.1, 0.2], [32, 64], [[196, 256], [196, 256]]),
+            ]
+            fp_spec = [[256, 256], [128, 128], [64, 32]]
         l0_xyz = feat[..., :3]
         l1_xyz, l1_points, m1 = SetAbstractionMsg(
-            1024, [0.025, 0.05], [32, 64], [[32, 32], [32, 32]],
-            name="sa1")(l0_xyz, feat, mask, train)
+            *sa_spec[0], name="sa1")(l0_xyz, feat, mask, train)
         l2_xyz, l2_points, m2 = SetAbstractionMsg(
-            512, [0.05, 0.1], [32, 64], [[64, 128], [64, 128]],
-            name="sa2")(l1_xyz, l1_points, m1, train)
+            *sa_spec[1], name="sa2")(l1_xyz, l1_points, m1, train)
         l3_xyz, l3_points, m3 = SetAbstractionMsg(
-            256, [0.1, 0.2], [32, 64], [[196, 256], [196, 256]],
-            name="sa3")(l2_xyz, l2_points, m2, train)
-        l2_up = FeaturePropagation([256, 256], name="fp3")(
+            *sa_spec[2], name="sa3")(l2_xyz, l2_points, m2, train)
+        l2_up = FeaturePropagation(fp_spec[0], name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, m2, m3, train)
-        l1_up = FeaturePropagation([128, 128], name="fp2")(
+        l1_up = FeaturePropagation(fp_spec[1], name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_up, m1, m2, train)
-        l0_up = FeaturePropagation([64, 32], name="fp1")(
+        l0_up = FeaturePropagation(fp_spec[2], name="fp1")(
             l0_xyz, l1_xyz, feat, l1_up, mask, m1, train)
         return {
             "l0_points": l0_up, "l3_points": l3_points,
@@ -66,9 +88,11 @@ class PointNetPPBackbone(nn.Module):
 class TsgCentroidModule(nn.Module):
     """Centroid prediction (tsg_centroid_module.py:5-48)."""
 
+    tiny: bool = False
+
     @nn.compact
     def __call__(self, feat, mask=None, train: bool = True):
-        bb = PointNetPPBackbone(name="backbone")(feat, mask, train)
+        bb = PointNetPPBackbone(self.tiny, name="backbone")(feat, mask, train)
         h = jnp.concatenate([bb["l3_points"], bb["l3_xyz"]], axis=-1)  # 515 ch
         m3 = bb["l3_mask"]
         off = nn.relu(MaskedBatchNorm(name="offset_bn")(
@@ -90,14 +114,16 @@ class TsgCentroidModule(nn.Module):
 class TsgSegModule(nn.Module):
     """Crop segmentation (tsg_seg_module.py:5-86). Input [K, 3072, 36]."""
 
+    tiny: bool = False
+
     @nn.compact
     def __call__(self, crop_feat, crop_mask=None, train: bool = True):
-        t1 = PointNetPPBackbone(name="tower1")(crop_feat, crop_mask, train)
+        t1 = PointNetPPBackbone(self.tiny, name="tower1")(crop_feat, crop_mask, train)
         pd_1 = nn.softmax(nn.Dense(2, name="pd_mask_1")(t1["l0_points"]), axis=-1)
         weight_1 = nn.Dense(1, name="wt_mask_1")(t1["l0_points"])
 
         x2 = jnp.concatenate([crop_feat, pd_1], axis=-1)  # 38 ch
-        t2 = PointNetPPBackbone(name="tower2")(x2, crop_mask, train)
+        t2 = PointNetPPBackbone(self.tiny, name="tower2")(x2, crop_mask, train)
         pd_2 = nn.Dense(1, name="pd_mask_2")(t2["l0_points"])
 
         # group-all SA on (l3_xyz, l3_points): 515 -> [256, 512] -> global max
@@ -125,11 +151,12 @@ class TSegNetModule(nn.Module):
 
     crop_size: int = 3072
     run_seg_module: bool = True
+    tiny_backbone: bool = False
 
     def setup(self):
-        self.cent_module = TsgCentroidModule(name="cent_module")
+        self.cent_module = TsgCentroidModule(self.tiny_backbone, name="cent_module")
         if self.run_seg_module:
-            self.seg_module = TsgSegModule(name="seg_module")
+            self.seg_module = TsgSegModule(self.tiny_backbone, name="seg_module")
 
     def __call__(self, feat, mask=None, train: bool = True,
                  center_points=None, center_valid=None):
@@ -139,7 +166,8 @@ class TSegNetModule(nn.Module):
 
         b, k = center_points.shape[:2]
         crop_idx, _ = knn_points(center_points, feat[..., :3], self.crop_size,
-                                 None, mask, need_dist=False)      # [B,K,S]
+                                 None, mask, need_dist=False,
+                                 sel_bf16=not train)               # [B,K,S]
         crop_input = index_points(feat, crop_idx)                  # [B,K,S,6]
         crop_l0 = index_points(out["l0_points"], crop_idx)         # [B,K,S,32]
         flat = lambda x: x.reshape((b * k,) + x.shape[2:])

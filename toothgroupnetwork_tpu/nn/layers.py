@@ -67,13 +67,28 @@ class MaskedBatchNorm(nn.Module):
             else:
                 w = mask[..., None].astype(jnp.float32)
                 red = tuple(range(x.ndim - 1))
-                n = jnp.maximum(jnp.sum(w), 1.0)
+                n_raw = jnp.sum(w)
+                n = jnp.maximum(n_raw, 1.0)
                 mean = jnp.sum(xf * w, axis=red) / n
                 var = jnp.sum(((xf - mean) ** 2) * w, axis=red) / n
+                # Fully-empty mask (e.g. a train batch where the host stage
+                # proposed ZERO valid crops in every element): var would be 0
+                # and the 1/sqrt(eps) ~ 316x scale explodes a deep stack to
+                # inf -> NaN even on rows the loss masks away (NaN*0 = NaN).
+                # Fall back to identity stats and keep the running estimates.
+                empty = n_raw < 0.5
+                var = jnp.where(empty, 1.0, var)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                new_mean = (self.momentum * ra_mean.value
+                            + (1 - self.momentum) * mean)
+                new_var = (self.momentum * ra_var.value
+                           + (1 - self.momentum) * unbiased)
+                if mask is not None:
+                    new_mean = jnp.where(empty, ra_mean.value, new_mean)
+                    new_var = jnp.where(empty, ra_var.value, new_var)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -65,7 +65,7 @@ def _batched_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k", "chunk", "impl", "include_self",
-                                   "need_dist"))
+                                   "need_dist", "sel_bf16"))
 def knn_points(
     query: jnp.ndarray,
     points: jnp.ndarray,
@@ -77,6 +77,7 @@ def knn_points(
     impl: str | None = None,
     include_self: bool = False,
     need_dist: bool = True,
+    sel_bf16: bool = False,
 ):
     """kNN from ``query`` into ``points`` (see module docstring for the
     approximation scope per backend/flags; exact on CPU or TGN_TPU_KNN=exact).
@@ -104,6 +105,13 @@ def knn_points(
         returns distances in matmul-expansion precision instead. The candidate
         set and the ``include_self`` guarantee are unchanged; only the returned
         distances (and the order among near-exact ties) are approximate.
+
+      sel_bf16: opt IN to the bf16 selection matrix (approx + need_dist=False
+        paths only; see the in-body comment). Callers pass ``not train`` so the
+        cheaper selection applies to INFERENCE traces only — the train-time
+        numerics stay f32-selection without a separate equivalence study
+        (round-3 advisor item). ``TGN_TPU_KNN_SEL=bf16|f32`` force-overrides
+        both ways; the default ``auto`` defers to this flag.
 
     Returns:
       ``(idx, dist)``: int32 ``[..., M, k]`` neighbor indices (ascending by exact
@@ -155,18 +163,24 @@ def knn_points(
         jnp.arange(n_chunks * csize, dtype=jnp.int32), n - 1
     ).reshape(n_chunks, csize)
 
-    # bf16 SELECTION matrix (TGN_TPU_KNN_SEL=bf16, approx+need_dist=False
-    # only): the [csize, N] distance tile is the kNN's traffic, and these call
-    # sites consume the candidate SET only — writing/selecting it at half
-    # width halves that traffic. Candidate membership under bf16 rounding
-    # stays within the accepted approx recall (set-overlap contract-tested);
-    # returned distances are already documented selection-precision here.
-    # default ON since round 3: A/B at the purity shape ([104k x 24k] k=40)
-    # measured host_boundary_resample 252 -> 222 ms/scan with pipeline-level
-    # parity (the exact nn1 re-score downstream is unaffected); opt out with
-    # TGN_TPU_KNN_SEL=f32
-    sel_bf16 = (approx and not need_dist
-                and os.environ.get("TGN_TPU_KNN_SEL", "bf16") == "bf16")
+    # bf16 SELECTION matrix (approx+need_dist=False only): the [csize, N]
+    # distance tile is the kNN's traffic, and these call sites consume the
+    # candidate SET only — writing/selecting it at half width halves that
+    # traffic. Candidate membership under bf16 rounding stays within the
+    # accepted approx recall (set-overlap contract-tested); returned distances
+    # are already documented selection-precision here. A/B at the purity shape
+    # ([104k x 24k] k=40): host_boundary_resample 252 -> 222 ms/scan with
+    # pipeline-level parity (the exact nn1 re-score downstream is unaffected —
+    # up to bf16 near-ties in candidate MEMBERSHIP: two points whose -d2
+    # round to the same bf16 can swap in/out of the candidate set, so the
+    # "exact 1-NN" guarantee of re-scoring consumers weakens to
+    # exact-within-the-selected-set). SCOPE: inference traces only — callers
+    # pass sel_bf16=not train (round-3 advisor: the call sites are shared by
+    # train and eval, and only the serving phase was A/B'd). Env force:
+    # TGN_TPU_KNN_SEL=bf16|f32 overrides the caller hint both ways.
+    env_sel = os.environ.get("TGN_TPU_KNN_SEL", "auto")
+    use_bf16 = sel_bf16 if env_sel == "auto" else env_sel == "bf16"
+    sel_bf16 = approx and not need_dist and use_bf16
 
     def one_chunk(args):
         qc, qi = args

@@ -59,17 +59,6 @@ def _pad_centroids(centroids: list[np.ndarray], k_max: int = K_MAX):
     return jnp.asarray(cents), jnp.asarray(valid), valid
 
 
-def _aggregate_crop_votes(sem2: np.ndarray, crop_idx: np.ndarray,
-                          crop_valid: np.ndarray, n_points: int) -> np.ndarray:
-    """Sum per-crop FG/BG logits onto whole-cloud points
-    (inference_pipeline_tgn.py:184-196). Untouched points stay 0 → argmax 0 = BG."""
-    votes = np.zeros((n_points, 2), np.float32)
-    for k in range(sem2.shape[0]):
-        if crop_valid[k]:
-            np.add.at(votes, crop_idx[k], sem2[k])
-    return np.argmax(votes, axis=1)
-
-
 _bdl_nn1_jit = None
 _bdl_nn1_sel_jit = None
 
@@ -210,6 +199,15 @@ class TgnInferencePipeline:
         self.boundary_info = boundary_info or {
             "bdl_ratio": 0.7, "num_of_bdl_points": 20000,
             "num_of_all_points": n_sample}
+        # _bdl_nn1_sel_fn slices sel[:num_bdl] and masks with a [num_bdl]
+        # live plane — with num_bdl > num_all the broadcast fails at trace
+        # time with an opaque shape error; fail clearly here instead
+        # (round-3 advisor item; the reference's configs always satisfy it:
+        # 20000 boundary of a 24000 cloud)
+        assert (self.boundary_info["num_of_bdl_points"]
+                <= self.boundary_info["num_of_all_points"]), (
+            "boundary_info: num_of_bdl_points must be <= num_of_all_points "
+            f"(got {self.boundary_info})")
 
         self.fps_module = task.build_module(cfg)
         # bdl module arch (train_configs/tgnet_bdl.py model_parameter)
@@ -250,7 +248,7 @@ class TgnInferencePipeline:
             # costs an extra ~25 ms tunnel round trip per stage. Vote
             # aggregation also on-device: one [N] int32 fetch.
             crops, crop_mask, crop_idx, _ = make_crops(
-                feats, cents, valid, self.crop_size)
+                feats, cents, valid, self.crop_size, sel_bf16=True)
             out = module.apply(variables, crops, crop_mask, method=TGNet.stage2)
             return _device_votes(out["sem_1"], crop_idx[0], valid[0],
                                  feats.shape[1])

@@ -62,7 +62,7 @@ class TsegnetInferencePipeline:
 
     def _build_crops(self, feat, l0_points, centers, valid):
         crop_idx, _ = knn_points(centers, feat[..., :3], self.crop_size,
-                                 need_dist=False)
+                                 need_dist=False, sel_bf16=True)
         crop_input = index_points(feat, crop_idx)          # [1,K,S,6]
         crop_l0 = index_points(l0_points, crop_idx)        # [1,K,S,32]
         k = centers.shape[1]

@@ -45,14 +45,19 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
     pipeline's final transfer consumes them there (``_final_transfer_fn``).
 
     Exactness: the 1-NN label becomes the boundary points' OUTPUT semantics, so
-    its identity is re-derived by an exact re-score of the top-4 approx
-    candidates (the approx path's candidate SET always contains the global
-    nearest — approx_max_k retains each reduction bin's maximum — but its
+    its identity is re-derived by an exact f32 re-score of the top-4 approx
+    candidates (approx_max_k retains each reduction bin's maximum, but its
     matmul-expansion distances can misorder near-ties; the narrow re-score
     fixes the order at ~1/10 the cost of a full need_dist=True 40-wide
-    re-score). The purity RATIO keeps approx-selection membership for the
-    other 39 columns — it is a mean over 40 labels and insensitive to
-    per-neighbor recall ~0.95."""
+    re-score). This call site opts into the bf16 SELECTION matrix
+    (``sel_bf16=True`` — serving-only; A/B 252 -> 222 ms/scan), which weakens
+    the guarantee by one notch: candidate MEMBERSHIP is decided on bf16-rounded
+    -d2, so when the true nearest and another point round to the same bf16
+    value either may enter the candidate set — the returned 1-NN is then exact
+    within the set, i.e. exact up to bf16 near-ties (indistinguishable at
+    ~1e-3 relative d2, far below the mesh's vertex spacing). The purity RATIO
+    keeps approx-selection membership for the other 39 columns — it is a mean
+    over 40 labels and insensitive to per-neighbor recall ~0.95."""
     global _purity_device_jit
     if _purity_device_jit is None:
         import jax
@@ -68,7 +73,7 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
             org_xyz = org_xyz[:, :3].astype(jnp.float32)
             sampled_xyz = sampled_xyz[:, :3].astype(jnp.float32)
             idx, _ = knn_points(org_xyz, sampled_xyz, k, None, None,
-                                need_dist=False)
+                                need_dist=False, sel_bf16=True)
             # exact re-score of the leading candidates -> true 1-NN identity
             j = min(4, k)
             cand = idx[:, :j]                               # [Np, j]
