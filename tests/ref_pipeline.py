@@ -1,0 +1,149 @@
+"""Run the ACTUAL reference tgn InferencePipeLine on CPU for whole-pipeline
+parity tests (round-3 verdict stretch item 9).
+
+``inference_pipelines/inference_pipeline_tgn.py`` imports open3d, trimesh and
+matplotlib (none available in this image) and runs everything through CUDA
+tensors. This module installs minimal fakes BEFORE importing it:
+
+  * ``open3d``: a TriangleMesh backed by this framework's own mesh ops
+    (``data.mesh_io``: parse/normals/subdivide, ``data.scan_prep``:
+    dedup) — the same algorithms our pipeline uses, so the mesh-prep inputs
+    to both pipelines are identical by construction,
+  * ``trimesh``: ``load_mesh(path, process=False)`` via ``parse_obj``
+    (order-preserving, like trimesh with process=False),
+  * ``matplotlib``: an empty shell (only imported, never used on this path),
+  * pointops + ``.cuda()`` no-ops come from ``ref_cbl`` (imported first).
+
+Import ``build_reference_tgn_pipeline`` AFTER tests/conftest.py; torch stays
+CPU-only.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+import ref_cbl  # noqa: F401  (installs pointops stub + cuda patches, adds /root/reference to sys.path)
+
+
+def _install_fakes():
+    from toothgroupnetwork_tpu.data.mesh_io import (compute_vertex_normals,
+                                                    parse_obj,
+                                                    subdivide_midpoint)
+    from toothgroupnetwork_tpu.data.scan_prep import dedup_vertices
+
+    if "matplotlib" not in sys.modules:
+        mpl = types.ModuleType("matplotlib")
+        plt = types.ModuleType("matplotlib.pyplot")
+        mpl.pyplot = plt
+        sys.modules["matplotlib"] = mpl
+        sys.modules["matplotlib.pyplot"] = plt
+
+    if "trimesh" not in sys.modules:
+        tm = types.ModuleType("trimesh")
+
+        def load_mesh(path, process=False):
+            v, f = parse_obj(path)
+            return types.SimpleNamespace(vertices=v, faces=f)
+
+        tm.load_mesh = load_mesh
+        sys.modules["trimesh"] = tm
+
+    if "open3d" not in sys.modules:
+        o3d = types.ModuleType("open3d")
+
+        class TriangleMesh:
+            def __init__(self):
+                self.vertices = np.zeros((0, 3))
+                self.triangles = np.zeros((0, 3), np.int64)
+                self._normals = None
+
+            # --- o3d API surface used by gen_utils + the tgn pipeline ---
+            def compute_vertex_normals(self):
+                self._normals = compute_vertex_normals(
+                    np.asarray(self.vertices, np.float64),
+                    np.asarray(self.triangles, np.int64))
+                return self
+
+            @property
+            def vertex_normals(self):
+                if self._normals is None:
+                    self.compute_vertex_normals()
+                return self._normals
+
+            @vertex_normals.setter
+            def vertex_normals(self, v):
+                self._normals = np.asarray(v)
+
+            def remove_duplicated_vertices(self):
+                v, f = dedup_vertices(np.asarray(self.vertices),
+                                      np.asarray(self.triangles))
+                self.vertices, self.triangles = v, f
+                self._normals = None
+                return self
+
+            def subdivide_midpoint(self, number_of_iterations=1):
+                v, f = np.asarray(self.vertices), np.asarray(self.triangles)
+                v, f = subdivide_midpoint(v, f, number_of_iterations)
+                m = TriangleMesh()
+                m.vertices, m.triangles = v, f
+                return m
+
+        class _Geometry(types.SimpleNamespace):
+            pass
+
+        o3d.geometry = _Geometry(TriangleMesh=TriangleMesh)
+        o3d.utility = _Geometry(
+            Vector3dVector=lambda x: np.asarray(x, np.float64),
+            Vector3iVector=lambda x: np.asarray(x, np.int64))
+        o3d.io = _Geometry()
+        o3d.visualization = _Geometry()
+        sys.modules["open3d"] = o3d
+
+
+_install_fakes()
+
+
+def make_reference_checkpoints(tmpdir, seed: int = 0):
+    """Random-init reference GroupingNetworkModules (fps + bdl arch), saved as
+    torch checkpoints. Returns (fps_ckpt_path, bdl_ckpt_path, fps_sd, bdl_sd).
+    """
+    import torch
+
+    from models.modules.grouping_network_module import GroupingNetworkModule
+
+    torch.manual_seed(seed)
+    fps_cfg = {"model_parameter": {
+        "input_feat": 6, "stride": [1, 4, 4, 4, 4],
+        "nsample": [36, 24, 24, 24, 24], "blocks": [2, 3, 4, 6, 3],
+        "block_num": 5, "planes": [32, 64, 128, 256, 512],
+        "crop_sample_size": 3072}}
+    bdl_cfg = {"model_parameter": {
+        "input_feat": 6, "stride": [1, 1],
+        "nsample": [36, 24], "blocks": [2, 3],
+        "block_num": 2, "planes": [16, 32],
+        "crop_sample_size": 3072}}
+    fps_mod = GroupingNetworkModule(fps_cfg)
+    bdl_mod = GroupingNetworkModule(bdl_cfg)
+    fps_path = str(tmpdir / "ref_fps.h5")
+    bdl_path = str(tmpdir / "ref_bdl.h5")
+    torch.save(fps_mod.state_dict(), fps_path)
+    torch.save(bdl_mod.state_dict(), bdl_path)
+    return fps_path, bdl_path, fps_cfg, bdl_cfg
+
+
+def build_reference_tgn_pipeline(fps_ckpt: str, bdl_ckpt: str,
+                                 fps_cfg: dict, bdl_cfg: dict):
+    """The actual reference ``InferencePipeLine`` (tgn), CPU-patched."""
+    from inference_pipelines.inference_pipeline_tgn import InferencePipeLine
+
+    config = {
+        "fps_model_info": {**fps_cfg, "load_ckpt_path": fps_ckpt},
+        "boundary_model_info": {**bdl_cfg, "load_ckpt_path": bdl_ckpt},
+        "boundary_sampling_info": {
+            "bdl_ratio": 0.7, "num_of_bdl_points": 20000,
+            "num_of_all_points": 24000},
+    }
+    return InferencePipeLine(config)

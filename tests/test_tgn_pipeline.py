@@ -142,6 +142,64 @@ class TestBoundaryResample:
         np.testing.assert_array_equal(np.asarray(spec_hs)[:m],
                                       np.where(~bd_np)[0][loc])
 
+    def test_window_purity_matches_kdtree(self, rng, tmp_path):
+        """_purity_window_fn (the r4 TPU default at production sizes) must
+        agree with the host KD-tree on a synthetic SURFACE scan with the
+        windows proper subsets of the sampled cloud: exact nn1 index/label/d2
+        (window-true 1-NN), boundary mask agreement, and a fill-FPS index
+        plane of unique valid non-boundary rows."""
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+        from synthetic import write_synthetic_obj
+
+        from toothgroupnetwork_tpu.data.mesh_io import parse_obj
+        from toothgroupnetwork_tpu.data.scan_prep import \
+            normalize_scan_vertices
+        from toothgroupnetwork_tpu.ops import farthest_point_sample
+        from toothgroupnetwork_tpu.postprocess.boundary import (
+            _SPEC_FPS, _purity_window_fn)
+        from toothgroupnetwork_tpu.postprocess.clustering import \
+            first_label_ratio
+
+        p = str(tmp_path / "s_lower.obj")
+        write_synthetic_obj(p, n_side=100, seed=0)    # ~10k surface verts
+        v, _ = parse_obj(p)
+        v = normalize_scan_vertices(v).astype(np.float32)
+        n0 = v.shape[0]
+        n_pad = -(-n0 // 8192) * 8192
+        pad = np.zeros((n_pad, 3), np.float32)
+        pad[:n0] = v
+        order = np.asarray(farthest_point_sample(jnp.asarray(v), 4800))
+        sampled = v[order]                 # windows = 1500-row subsets
+        labels = (sampled[:, 0] > 0).astype(np.uint8) + 1
+
+        k, r = 40, 0.7
+        bd, nn1lab, nn1, nn1d2, fps = _purity_window_fn(
+            jnp.asarray(pad), jnp.asarray(sampled), jnp.asarray(labels),
+            k, r, n_valid=n0)
+        dist, nn = cKDTree(sampled).query(v, k=k, workers=-1)
+        ratio_h = first_label_ratio(labels[nn])
+
+        # index equality up to exact-distance ties (cKDTree breaks ties by
+        # index; the top-4 re-score by candidate order) — every pick must
+        # reproduce the true 1-NN DISTANCE exactly
+        nn1_np = np.asarray(nn1)[:n0]
+        mism = nn1_np != nn[:, 0]
+        assert mism.mean() < 1e-3
+        np.testing.assert_allclose(np.asarray(nn1d2)[:n0], dist[:, 0] ** 2,
+                                   rtol=1e-4, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(nn1lab)[:n0][~mism],
+                                      labels[nn[:, 0]][~mism])
+        near = np.abs(ratio_h - r) <= 2.5 / k
+        agree = np.asarray(bd)[:n0] == (ratio_h < r)
+        assert agree[~near].all()
+        # chunked fill-FPS: unique valid non-boundary picks
+        fps_np = np.asarray(fps)
+        assert fps_np.shape == (_SPEC_FPS,)
+        assert (fps_np < n0).all()
+        assert len(np.unique(fps_np)) == _SPEC_FPS
+        assert not (ratio_h < r)[fps_np].any()
+
     def test_masked_fps_matches_compacted_subset(self, rng):
         """_masked_fps (device FPS over the non-boundary subset, masked
         directly on the padded org cloud) must select EXACTLY the points the

@@ -77,7 +77,7 @@ def main():
           pad_dev)
 
     # the sampled cloud + stage-1-like inputs
-    feats_dev, idx_dev, _fin = pb.fps_sample_dev(bdl_feats, n)
+    feats_dev, idx_dev, _fin = pb.fps_sample_dev(bdl_feats, n, return_idx=True)
     feats = jax.block_until_ready(feats_dev)[None]
     rng = np.random.default_rng(0)
 

@@ -158,9 +158,9 @@ def fused_vector_attention(q, x_g, p_r, params, *, k: int,
     return out[:bn]
 
 
-def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, a0_ref, b0_ref, a1_ref,
-                   b1_ref, bn0_ref, w0_ref, c0_ref, bn1_ref, w1_ref, c1_ref,
-                   sum_ref, bcast_ref, exp_ref, red_ref, out_ref, *, kk: int):
+def _packed_body(q_ref, k2, v2, pr2_ref, a0_ref, b0_ref, a1_ref,
+                 b1_ref, bn0_ref, w0_ref, c0_ref, bn1_ref, w1_ref, c1_ref,
+                 sum_ref, bcast_ref, exp_ref, red_ref, out_ref, *, kk: int):
     """Lane-packed tile: every per-neighbor tensor lives as a 2D ``[TR, K*X]``
     slab (k-major, channel-minor lanes) so the VPU runs at full 128-lane width
     and the MLPs become block-diagonal MXU matmuls (built with ``kron`` in the
@@ -168,7 +168,9 @@ def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, a0_ref, b0_ref, a1_ref,
     C=32 and its 3D softmax view forces Mosaic relayouts — measured 16.3 ms vs
     ~5 ms XLA; this layout exists to beat both.
 
-    Shapes: q [TR, C]; k2/v2 [TR, K*C]; pr2 [TR, K*3]; block-diagonal weights
+    Shapes: q [TR, C]; k2/v2 [TR, K*C] f32 VALUES (not refs — the two entry
+    kernels below either read them from HBM-fed refs or project them in-kernel
+    from the raw gathered features); pr2 [TR, K*3]; block-diagonal weights
     a0 [K3,K3], a1 [K3,KC], w0 [KC,Kcs], w1 [Kcs,Kcs]; bn0 [2, KC] (scale row
     0 / shift row 1), bn1 [2, Kcs]; biases b0 [1,K3], b1/c0/c1 [1, K*X];
     patterns: sum [Kcs, cs], bcast [cs, Kcs], exp [Kcs, KC], red [KC, C].
@@ -183,7 +185,7 @@ def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, a0_ref, b0_ref, a1_ref,
     pe2 = jnp.dot(pe0, a1_ref[:], preferred_element_type=f32) + b1_ref[:]
 
     q2 = jnp.concatenate([q] * kk, axis=1)                # [TR, KC]
-    w = k2_ref[:].astype(f32) - q2 + pe2
+    w = k2 - q2 + pe2
     w = jnp.maximum(w * bn0_ref[0:1, :] + bn0_ref[1:2, :], 0.0)
     w = jnp.dot(w, w0_ref[:], preferred_element_type=f32) + c0_ref[:]
     w = jnp.maximum(w * bn1_ref[0:1, :] + bn1_ref[1:2, :], 0.0)
@@ -198,39 +200,37 @@ def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, a0_ref, b0_ref, a1_ref,
     wn = e / denf
     wf = jnp.dot(wn, exp_ref[:], preferred_element_type=f32)      # [TR, KC]
 
-    prod = (v2_ref[:].astype(f32) + pe2) * wf
+    prod = (v2 + pe2) * wf
     out_ref[:] = jnp.dot(prod, red_ref[:], preferred_element_type=f32)
 
 
-@partial(jax.jit, static_argnames=("k", "tile_rows"))
-def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
-                                  tile_rows: int | None = None):
-    """Lane-packed fused attention: q [BN, C]; k_g/v_g [BN*K, C] (the k/v
-    projections run in XLA — contiguous-matmul IO is cheap, the random GATHER
-    is the expensive part and happens once on the raw features upstream);
-    p_r [BN*K, 3]; params as :func:`fold_attention_params`. Returns [BN, C]."""
-    bn, c = q.shape
-    cs = params["w1"].shape[-1]
-    kc, kcs, k3 = k * c, k * cs, k * 3
-    if tile_rows is None:
-        # [TR, KC] f32 slabs: ~6 live + dbl-buffered inputs; KC<=1536 at the
-        # stages this kernel serves (C<=64) -> 128 rows ~ 6 MB stack
-        tile_rows = max(8, min(128, (1 << 21) // max(kc, 128)))
-        tile_rows -= tile_rows % 8
-    tr = min(tile_rows, -(-bn // 8) * 8)
-    n_tiles = -(-bn // tr)
-    pad = n_tiles * tr - bn
-    if pad:
-        q = jnp.pad(q, ((0, pad), (0, 0)))
-        k_g = jnp.pad(k_g, ((0, pad * k), (0, 0)))
-        v_g = jnp.pad(v_g, ((0, pad * k), (0, 0)))
-        p_r = jnp.pad(p_r, ((0, pad * k), (0, 0)))
+def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, *rest, kk: int):
+    """Entry kernel: k/v pre-projected by XLA (k2/v2 fed from HBM)."""
+    f32 = jnp.float32
+    _packed_body(q_ref, k2_ref[:].astype(f32), v2_ref[:].astype(f32),
+                 pr2_ref, *rest, kk=kk)
 
-    rows = n_tiles * tr
-    k2 = k_g.reshape(rows, kc)            # free: k-major, channel-minor
-    v2 = v_g.reshape(rows, kc)
-    pr2 = p_r.reshape(rows, k3)
 
+def _packed_x_kernel(q_ref, x2_ref, pr2_ref, wkk_ref, bk2_ref, wvk_ref,
+                     bv2_ref, *rest, kk: int):
+    """Entry kernel: k/v projected IN-KERNEL from the raw gathered features
+    ``x2 [TR, K*Cin]`` via block-diagonal ``kron(I_K, W)`` MXU matmuls. Halves
+    the layer's HBM traffic vs the pre-projected entry (one [BNK, C] tensor
+    materialized by the gather instead of x_g + k_g + v_g: measured the layer
+    is TRAFFIC-bound — 32 ms at B16/3072/K36/C32 vs a ~2-4 ms gather+compute
+    floor). The kron dot runs in the INPUT dtype (bf16 on the serving path —
+    K x FLOP overhead is free on the MXU; f32 in CPU interpret mode where it
+    is exact)."""
+    f32 = jnp.float32
+    x2 = x2_ref[:]
+    k2 = jnp.dot(x2, wkk_ref[:], preferred_element_type=f32) + bk2_ref[:]
+    v2 = jnp.dot(x2, wvk_ref[:], preferred_element_type=f32) + bv2_ref[:]
+    _packed_body(q_ref, k2, v2, pr2_ref, *rest, kk=kk)
+
+
+def _packed_patterns(params, k: int, c: int, cs: int):
+    """Block-diagonal / tiled weight + pattern tensors shared by the two
+    packed entries, in the kernel argument order after pr2."""
     f32 = jnp.float32
     eye_k = jnp.eye(k, dtype=f32)
     a0 = jnp.kron(eye_k, params["a0"].astype(f32))            # [K3, K3]
@@ -250,6 +250,47 @@ def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
     bcast_p = jnp.kron(ones_k.T, jnp.eye(cs, dtype=f32))      # [cs, Kcs]
     exp_p = jnp.kron(eye_k, jnp.tile(jnp.eye(cs, dtype=f32), (1, c // cs)))
     red_p = jnp.kron(ones_k, jnp.eye(c, dtype=f32))           # [KC, C]
+    return (a0, b0, a1, b1, bn0, w0, c0, bn1, w1, c1,
+            sum_p, bcast_p, exp_p, red_p)
+
+
+def _packed_tiles(bn: int, kc: int, tile_rows: int | None, n_extra_mb: float):
+    """Row-tile size under the Mosaic scoped-vmem budget (~16 MB): ~6 live
+    [TR, KC] f32 slabs plus ``n_extra_mb`` of resident weights."""
+    if tile_rows is None:
+        # ~16 MB scoped vmem: leave the resident weights/patterns their share
+        # and split the rest across ~6 live [TR, KC] f32 slabs
+        budget = max(1 << 19, (14 << 20) - int(n_extra_mb * (1 << 20)))
+        tile_rows = max(8, min(128, budget // (6 * 4 * max(kc, 128))))
+        tile_rows -= tile_rows % 8
+    tr = min(tile_rows, -(-bn // 8) * 8)
+    return tr, -(-bn // tr)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_rows"))
+def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
+                                  tile_rows: int | None = None):
+    """Lane-packed fused attention: q [BN, C]; k_g/v_g [BN*K, C] pre-projected
+    by XLA; p_r [BN*K, 3]; params as :func:`fold_attention_params`. Returns
+    [BN, C]. Prefer :func:`fused_vector_attention_packed_x` (in-kernel k/v
+    projection from the raw gather — half the HBM traffic); this entry remains
+    for f32-mode shapes whose kron weights would blow the VMEM budget."""
+    bn, c = q.shape
+    cs = params["w1"].shape[-1]
+    kc, k3 = k * c, k * 3
+    tr, n_tiles = _packed_tiles(bn, kc, tile_rows, 2.0)
+    pad = n_tiles * tr - bn
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        k_g = jnp.pad(k_g, ((0, pad * k), (0, 0)))
+        v_g = jnp.pad(v_g, ((0, pad * k), (0, 0)))
+        p_r = jnp.pad(p_r, ((0, pad * k), (0, 0)))
+
+    rows = n_tiles * tr
+    k2 = k_g.reshape(rows, kc)            # free: k-major, channel-minor
+    v2 = v_g.reshape(rows, kc)
+    pr2 = p_r.reshape(rows, k3)
+    pats = _packed_patterns(params, k, c, cs)
 
     row_spec = lambda i: (i, 0)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -261,14 +302,72 @@ def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
             pl.BlockSpec((tr, kc), row_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, kc), row_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, k3), row_spec, memory_space=pltpu.VMEM),
-            full, full, full, full, full, full, full, full, full, full,
-            full, full, full, full,
-        ],
+        ] + [full] * 14,
         out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(q, k2, v2, pr2, a0, b0, a1, b1, bn0, w0, c0, bn1, w1, c1,
-      sum_p, bcast_p, exp_p, red_p)
+    )(q, k2, v2, pr2, *pats)
+    return out[:bn]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_rows"))
+def fused_vector_attention_packed_x(q, x_g, p_r, params, *, k: int,
+                                    tile_rows: int | None = None):
+    """Lane-packed fused attention from the RAW gathered features: q [BN, C];
+    x_g [BN*K, Cin] (any float dtype — bf16 halves the dominant HBM
+    read/write); p_r [BN*K, 3]; params must include the k/v projections
+    (``wk``/``bk``/``wv``/``bv``, :func:`fold_attention_params` provides
+    them). Returns [BN, C] f32.
+
+    vs :func:`fused_vector_attention_packed`: the k/v projections run
+    IN-KERNEL as ``kron(I_K, W)`` block-diagonal matmuls on the packed
+    [TR, K*Cin] slab, so the layer materializes ONE [BNK, C]-class tensor in
+    HBM (the gather output) instead of three (x_g + k_g + v_g) — the layer is
+    traffic-bound (B16/3072/K36/C32: 32 ms measured vs a ~2-4 ms floor). The
+    kron weights are cast to the INPUT dtype: bf16 on the serving path (the
+    K x FLOP overhead of the block-diagonal form is free on the MXU; the
+    projections already ran in model dtype on the XLA path), f32 in CPU
+    interpret mode where the zero-padded dot is exact."""
+    bn, c = q.shape
+    cin = x_g.shape[-1]
+    cs = params["w1"].shape[-1]
+    kc, kcin, k3 = k * c, k * cin, k * 3
+    wdt = x_g.dtype if x_g.dtype == jnp.bfloat16 else jnp.float32
+    # kron k/v weights resident: 2 * KCin*KC * itemsize
+    extra_mb = 2 * kcin * kc * (2 if wdt == jnp.bfloat16 else 4) / (1 << 20)
+    tr, n_tiles = _packed_tiles(bn, kc, tile_rows, 2.0 + extra_mb)
+    pad = n_tiles * tr - bn
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        x_g = jnp.pad(x_g, ((0, pad * k), (0, 0)))
+        p_r = jnp.pad(p_r, ((0, pad * k), (0, 0)))
+
+    rows = n_tiles * tr
+    x2 = x_g.reshape(rows, kcin)
+    pr2 = p_r.reshape(rows, k3)
+    pats = _packed_patterns(params, k, c, cs)
+
+    f32 = jnp.float32
+    eye_k = jnp.eye(k, dtype=f32)
+    wkk = jnp.kron(eye_k, params["wk"].astype(f32)).astype(wdt)  # [KCin, KC]
+    wvk = jnp.kron(eye_k, params["wv"].astype(f32)).astype(wdt)
+    bk2 = jnp.tile(params["bk"].astype(f32), k)[None, :]
+    bv2 = jnp.tile(params["bv"].astype(f32), k)[None, :]
+
+    row_spec = lambda i: (i, 0)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_packed_x_kernel, kk=k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kcin), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k3), row_spec, memory_space=pltpu.VMEM),
+        ] + [full] * 18,
+        out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(q, x2, pr2, wkk, bk2, wvk, bv2, *pats)
     return out[:bn]
 
 

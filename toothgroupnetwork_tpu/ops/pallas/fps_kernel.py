@@ -187,12 +187,93 @@ def fps_pallas_batched(xyz: jnp.ndarray, n_samples: int,
     return out[:, 0, :n_samples]
 
 
+def _fps_folded_kernel(xyz_ref, valid_ref, out_ref, dist_ref, *, m: int,
+                       np8: int):
+    """Sublane-folded single-cloud FPS: the [N] point axis is folded onto all
+    8 VPU sublanes — xyz_ref [24, Np8] (rows 0-7 x, 8-15 y, 16-23 z; element
+    i lives at (i // Np8, i % Np8), so the reported ids ARE original indices),
+    valid_ref [8, Np8], dist scratch [8, Np8], out_ref [1, Mpad] SMEM.
+
+    The unfolded [3, N]/[1, N] layout uses one sublane of every 8-row VPU
+    register, so each of the ~6 passes in the loop body ran at 1/8 width —
+    the sequential chain was ~9 us/iteration regardless of N (24000->6000 in
+    a tgnet stage-1 TransitionDown = ~54 ms). Folding is EXACT: distances are
+    the same arithmetic, the winner is extracted as the minimum global id
+    among argmax ties — the same tie order as the unfolded kernel and the
+    jnp path."""
+    valid = valid_ref[:]                                     # [8, Np8]
+    xs, ys, zs = xyz_ref[0:8], xyz_ref[8:16], xyz_ref[16:24]
+    neg_inf = jnp.float32(-1e30)
+    dist_ref[:] = jnp.where(valid > 0, jnp.float32(1e30), neg_inf)
+    gid = (jax.lax.broadcasted_iota(jnp.int32, (8, np8), 1)
+           + np8 * jax.lax.broadcasted_iota(jnp.int32, (8, np8), 0))
+    big_id = jnp.int32(8 * np8)
+
+    def _amin(a):  # [8, Np8] -> [1, 1] (keepdims reduces are Mosaic-native)
+        return jnp.min(jnp.min(a, axis=1, keepdims=True), axis=0,
+                       keepdims=True)
+
+    def _amax(a):
+        return jnp.max(jnp.max(a, axis=1, keepdims=True), axis=0,
+                       keepdims=True)
+
+    start = _amin(jnp.where(valid > 0, gid, big_id)).astype(jnp.int32)
+    out_ref[0, 0] = start[0, 0]
+
+    def _asum(a):
+        return jnp.sum(jnp.sum(a, axis=1, keepdims=True), axis=0,
+                       keepdims=True)
+
+    def coords_of(sel):
+        onehot = (gid == sel).astype(jnp.float32)   # exactly one 1 (pads: 0)
+        return (_asum(xs * onehot), _asum(ys * onehot), _asum(zs * onehot))
+
+    def body(i, last):
+        lx, ly, lz = last
+        d = (xs - lx) ** 2 + (ys - ly) ** 2 + (zs - lz) ** 2
+        dist = jnp.minimum(dist_ref[:], jnp.where(valid > 0, d, neg_inf))
+        dist_ref[:] = dist
+        mx = _amax(dist)
+        nxt = _amin(jnp.where(dist == mx, gid, big_id)).astype(jnp.int32)
+        out_ref[0, i] = nxt[0, 0]
+        return coords_of(nxt)
+
+    jax.lax.fori_loop(1, m, body, coords_of(start))
+
+
 @partial(jax.jit, static_argnames=("n_samples",))
 def fps_pallas(xyz: jnp.ndarray, n_samples: int,
                mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Single-cloud FPS: xyz [N, 3] (+ optional [N] validity mask with valid points
-    stored first) → int32 [n_samples] indices."""
+    stored first) → int32 [n_samples] indices. Runs the sublane-folded kernel
+    (see :func:`_fps_folded_kernel`); ``TGN_TPU_FPS_FOLD=0`` selects the
+    legacy [3, N] single-sublane layout."""
+    import os
+
     n = xyz.shape[0]
+    if os.environ.get("TGN_TPU_FPS_FOLD", "1") != "0":
+        np8 = _round_up(-(-n // 8), _LANE)
+        npad = 8 * np8
+        flat = jnp.zeros((npad, 3), jnp.float32).at[:n].set(
+            xyz.astype(jnp.float32))
+        xyz_t = jnp.moveaxis(flat.reshape(8, np8, 3), -1, 0).reshape(24, np8)
+        v = (jnp.arange(npad) < n) if mask is None else \
+            jnp.zeros((npad,), bool).at[:n].set(mask.astype(bool))
+        valid = v.astype(jnp.float32).reshape(8, np8)
+        m_pad = _round_up(n_samples, _LANE)
+        out = pl.pallas_call(
+            partial(_fps_folded_kernel, m=n_samples, np8=np8),
+            out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((8, np8), jnp.float32)],
+            interpret=_interpret(),
+        )(xyz_t, valid)
+        return out[0, :n_samples]
+
     np_ = _round_up(n, _LANE)
     xyz_t = jnp.zeros((3, np_), jnp.float32).at[:, :n].set(
         xyz.astype(jnp.float32).T)

@@ -185,6 +185,10 @@ def _fps_gather_jits():
 
         @partial(jax.jit, static_argnames=("quota_pad", "n", "n_chunks"))
         def fused(feats_pad, n0, ax, quota_pad, n, n_chunks):
+            # also returns `order` (the stable valid-first argsort by axis
+            # `ax`) — the windowed purity program slabs the SAME padded cloud
+            # by the same key, so reusing this plane skips its own ~104k
+            # argsort (stashed as device_ctx['org_order_dev'])
             feats_pad = feats_pad.astype(jnp.float32)  # accept an f16 upload
             # Device-side two-level FPS: the spatial partition (stable sort by
             # the host-chosen axis, equal-VALID-count slabs of
@@ -217,7 +221,7 @@ def _fps_gather_jits():
             rows = jnp.take(feats_pad, g, axis=0)        # [n_chunks, q, F]
             rows = jnp.moveaxis(rows, 0, 1).reshape(-1, f)[:n]
             gi = jnp.moveaxis(g, 0, 1).reshape(-1)[:n]
-            return rows, gi
+            return rows, gi, order
 
         _FPS_DEV_EXACT, _FPS_DEV_CHUNKED, _FPS_DEV_FUSED = \
             exact, chunked, fused
@@ -286,11 +290,14 @@ def fps_sample_dev(feats: np.ndarray, n: int, return_idx: bool = False,
         quota = -(-n // n_chunks)
         quota_pad = min(-(-quota // 128) * 128, -(-n0 // n_chunks))
         pad_dev = jnp.asarray(pad)
-        dev, g_idx = fused_fn(pad_dev, np.int32(n0), np.int32(ax),
-                              quota_pad=quota_pad, n=n, n_chunks=n_chunks)
+        dev, g_idx, order_dev = fused_fn(pad_dev, np.int32(n0), np.int32(ax),
+                                         quota_pad=quota_pad, n=n,
+                                         n_chunks=n_chunks)
         if ctx is not None:
             ctx["feats_pad_dev"] = pad_dev
             ctx["n_org"] = n0
+            ctx["org_order_dev"] = order_dev   # stays device-resident
+            ctx["org_order_ax"] = ax
         if return_idx:
             return dev, g_idx, np.asarray  # indices are already global
         return dev

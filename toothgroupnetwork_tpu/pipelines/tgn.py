@@ -65,17 +65,38 @@ _bdl_nn1_sel_jit = None
 
 def _nn1_chunked(q, p):
     """Shared body of the boundary-half 1-NN: chunked exact 1-NN of the
-    (padded) query rows into the (sentinel-padded) boundary cloud."""
+    (padded) query rows into the (sentinel-padded) boundary cloud.
+
+    Candidate selection on TPU uses ``lax.approx_max_k`` (the PartialReduce
+    unit) instead of ``lax.top_k``: top_k lowers to a full bitonic sort over
+    the 20k candidate lanes and measured 72 ms/scan chained at the production
+    shape [106k x 20k]; approx selection retains each reduction bin's MAXIMUM,
+    so the top-1 candidate — the only one this consumer needs — is guaranteed
+    present in the candidate set, and the exact f32 delta re-score below makes
+    the returned index/distance exact. The selection matrix ships bf16 by
+    default at inference (halves the dominant [chunk, P] traffic; override
+    with ``TGN_TPU_KNN_SEL=f32``), which weakens the guarantee to
+    exact-up-to-bf16-near-ties in candidate MEMBERSHIP — the same documented
+    caveat as the purity query's nn1 (postprocess/boundary.py), whose output
+    this merges with."""
+    import os
+
     q = q[:, :3].astype(jnp.float32)  # accept a [Npad,6] (maybe f16) buffer
     p = p.astype(jnp.float32)
     pn = jnp.sum(p * p, axis=-1)
+    approx = jax.default_backend() in ("tpu", "axon")
+    sel_bf16 = approx and os.environ.get("TGN_TPU_KNN_SEL", "auto") != "f32"
 
     def chunk(qc):
         d2 = (jnp.sum(qc * qc, -1, keepdims=True)
               - 2.0 * jnp.matmul(qc, p.T,
                                  precision=jax.lax.Precision.HIGHEST)
               + pn[None, :])
-        _, cand = jax.lax.top_k(-d2, 4)              # [C, 4]
+        if approx:
+            sel = (-d2).astype(jnp.bfloat16) if sel_bf16 else -d2
+            _, cand = jax.lax.approx_max_k(sel, 8, recall_target=0.95)
+        else:
+            _, cand = jax.lax.top_k(-d2, 4)          # [C, 4]
         delta = qc[:, None, :] - jnp.take(p, cand.reshape(-1), axis=0
                                           ).reshape(cand.shape + (3,))
         d2x = jnp.sum(delta * delta, -1)

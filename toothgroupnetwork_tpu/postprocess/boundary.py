@@ -17,6 +17,18 @@ from .clustering import first_label_ratio
 
 
 _purity_device_jit = None
+_purity_window_jit = None
+
+# windowed purity (the TPU default at production sizes): queries and the
+# sampled cloud are axis-sorted in-program; each of _WIN_SLABS equal-count
+# query slabs kNNs into a quantile-aligned window of _WIN_FRAC/_WIN_SLABS of
+# the sampled cloud instead of all of it — 16/5 cuts the dominant [Np, M]
+# selection traffic 3.2x. Window misses require a 40-NN radius larger than
+# ~2/16 of the cloud's axis span, which surface scans at 24k density never
+# approach (the 40-NN radius is ~sqrt(40/24000) of the extent); see
+# _purity_window_fn for the per-output exactness notes.
+_WIN_SLABS = 16
+_WIN_FRAC = 5
 
 # speculative non-boundary FPS quota fused into the purity program: the
 # boundary mask is computed IN-program, so the "fill the 24k cloud from the
@@ -105,6 +117,154 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
                               jnp.int32(n_valid), k=k)
 
 
+def _purity_window_fn(org_pad, sampled_xyz, labels, k: int,
+                      bdl_ratio: float = 0.7, n_valid=None,
+                      qorder=None, ax=None):
+    """Axis-windowed variant of :func:`_purity_device_fn` — same output
+    contract ``(bd, nn1_lab, nn1, nn1_d2, fps_idx)``, ~3x cheaper at the
+    production shape (the [Np, M] candidate axis shrinks to a
+    ``_WIN_FRAC/_WIN_SLABS`` window; the speculative fill-FPS additionally
+    runs slab-chunked — ``_SPEC_FPS/_WIN_SLABS`` sequential iterations instead
+    of ``_SPEC_FPS``, the same two-level scheme as the mesh-prep FPS,
+    pipelines/base.py:fps_sample_idx_chunked).
+
+    Structure (everything in ONE jitted program):
+      1. pick the sampled cloud's max-variance axis; argsort both clouds by it,
+      2. scatter the sorted org rows into ``_WIN_SLABS`` equal-valid-count
+         slabs (the fused-FPS partition scheme, pipelines/base.py),
+      3. slice the sorted sampled cloud into one static quantile-aligned
+         window of ``ceil(M*_WIN_FRAC/_WIN_SLABS)`` rows per query slab
+         (edge windows clamp inward, so every window is full-width real rows),
+      4. batched kNN slab->window, exact f32 re-score of the top-4 for the
+         1-NN, label-share ratio over the k candidates,
+      5. slab-chunked masked FPS over the non-boundary rows,
+      6. scatter every per-slab plane back to original padded-row order.
+
+    Exactness vs the flat path: the 1-NN re-score and its d2 are exact f32
+    WITHIN the window, and candidate membership carries the same
+    approx_max_k/bf16-selection scope as the flat path PLUS the window bound
+    (a true neighbor outside +-2 sampled-quantile slabs of the query's slab is
+    unreachable — geometrically impossible for surface scans at these
+    densities, and contract-tested against the host KD-tree on synthetic
+    scans). The fill-FPS becomes two-level approximate like the mesh-prep
+    sampler (the reference's own fill is an offline-grade FPS,
+    inference_pipeline_tgn.py:312). ``TGN_TPU_PURITY=flat`` opts out.
+    """
+    global _purity_window_jit
+    if _purity_window_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import farthest_point_sample, knn_points
+        from ..ops.gather import index_points
+
+        def fn(org_pad, sampled_xyz, labels, bdl_ratio, n_valid, qorder,
+               ax, k):
+            org = org_pad[:, :3].astype(jnp.float32)
+            smp = sampled_xyz[:, :3].astype(jnp.float32)
+            npad, m = org.shape[0], smp.shape[0]
+            ns = _WIN_SLABS
+            chunk_pad = npad // ns
+            win_w = min(m, -(-m * _WIN_FRAC // ns))
+            starts_py = [min(max((s - _WIN_FRAC // 2) * m // ns, 0),
+                             m - win_w) for s in range(ns)]
+
+            if ax is None:
+                ax = jnp.argmax(jnp.var(smp, axis=0)).astype(jnp.int32)
+
+            # sorted sampled cloud + per-slab static windows
+            sorder = jnp.argsort(jnp.take(smp, ax, axis=1)).astype(jnp.int32)
+            s_sorted = jnp.take(smp, sorder, axis=0)            # [M, 3]
+            lab_sorted = jnp.take(labels, sorder)               # [M]
+            win = jnp.stack([jax.lax.dynamic_slice(
+                s_sorted, (st, 0), (win_w, 3)) for st in starts_py])
+            wlab = jnp.stack([jax.lax.dynamic_slice(
+                lab_sorted, (st,), (win_w,)) for st in starts_py])
+            starts = jnp.asarray(starts_py, jnp.int32)          # [ns]
+
+            # equal-valid-count query slabs (fused-FPS partition scheme).
+            # qorder (the fused FPS partition's sort of the SAME buffer by the
+            # SAME key, pipelines/base.py) skips the ~104k in-program argsort.
+            i = jnp.arange(npad, dtype=jnp.int32)
+            if qorder is None:
+                key = jnp.where(i < n_valid, jnp.take(org, ax, axis=1),
+                                jnp.inf)
+                qorder = jnp.argsort(key).astype(jnp.int32)
+            chunk_len = (n_valid + ns - 1) // ns
+            slab = i // chunk_len
+            pos = i - slab * chunk_len
+            qrows = jnp.take(org, qorder, axis=0)
+            q = jnp.zeros((ns, chunk_pad, 3), jnp.float32
+                          ).at[slab, pos].set(qrows, mode="drop")
+            qvalid = jnp.zeros((ns, chunk_pad), bool
+                               ).at[slab, pos].set(i < n_valid, mode="drop")
+            # global row of each slab slot; npad (out of range) on empty slots
+            # so the scatter-back below drops them
+            qgidx = jnp.full((ns, chunk_pad), npad, jnp.int32
+                             ).at[slab, pos].set(qorder, mode="drop")
+
+            idxw, _ = knn_points(q, win, k, None, None, need_dist=False,
+                                 sel_bf16=True)                 # [ns, cp, k]
+            # exact re-score of the leading candidates -> window-true 1-NN
+            j = min(4, k)
+            cand = idxw[..., :j]
+            cand_xyz = index_points(win, cand)      # [ns, cp, j, 3]
+            delta = q[:, :, None, :] - cand_xyz
+            d2 = jnp.sum(delta * delta, axis=-1)
+            best = jnp.argmin(d2, axis=-1)
+            nn1w = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
+            nn1_d2s = jnp.take_along_axis(d2, best[..., None], -1)[..., 0]
+            # per-slab gathers as ONE flat take with slab offsets (batched
+            # take_along_axis lowers to a catastrophic gather on TPU — see
+            # ops/gather.py:index_points)
+            lab_flat = wlab.reshape(-1)
+            offs = (jnp.arange(ns, dtype=jnp.int32) * win_w)
+            nn1_g = jnp.take(sorder, starts[:, None] + nn1w)    # [ns, cp]
+            nn1_labs = jnp.take(lab_flat,
+                                (offs[:, None] + nn1w).reshape(-1)
+                                ).reshape(nn1w.shape)
+            labw = jnp.take(lab_flat,
+                            (offs[:, None, None] + idxw).reshape(-1)
+                            ).reshape(idxw.shape)
+            ratio = jnp.mean((labw == nn1_labs[..., None]).astype(jnp.float32),
+                             axis=-1)
+            bd_s = ratio < bdl_ratio                            # [ns, cp]
+
+            # slab-chunked speculative fill-FPS over the non-boundary rows
+            ok = qvalid & ~bd_s
+            quota = _SPEC_FPS // ns
+            floc = farthest_point_sample(q, quota, ok)          # [ns, quota]
+            qoffs = jnp.arange(ns, dtype=jnp.int32)[:, None] * chunk_pad
+            gfps = jnp.take(qgidx.reshape(-1),
+                            (qoffs + jnp.minimum(floc, chunk_pad - 1)
+                             ).reshape(-1)).reshape(floc.shape)
+            gfps = jnp.clip(gfps, 0, jnp.maximum(n_valid - 1, 0))
+            fps_idx = jnp.moveaxis(gfps, 0, 1).reshape(-1)      # rank-major
+
+            # scatter back to original padded-row order
+            flat = qgidx.reshape(-1)
+            bd = jnp.zeros((npad,), bool).at[flat].set(
+                bd_s.reshape(-1), mode="drop")
+            nn1_lab = jnp.zeros((npad,), labels.dtype).at[flat].set(
+                nn1_labs.reshape(-1), mode="drop")
+            nn1 = jnp.zeros((npad,), jnp.int32).at[flat].set(
+                nn1_g.reshape(-1), mode="drop")
+            nn1_d2 = jnp.zeros((npad,), jnp.float32).at[flat].set(
+                nn1_d2s.reshape(-1), mode="drop")
+            return bd, nn1_lab, nn1, nn1_d2, fps_idx
+
+        _purity_window_jit = jax.jit(fn, static_argnames=("k",))
+    import jax.numpy as jnp
+
+    if n_valid is None:
+        n_valid = org_pad.shape[0]
+    if ax is not None:
+        ax = jnp.int32(ax)
+    return _purity_window_jit(org_pad, sampled_xyz, labels,
+                              jnp.float32(bdl_ratio), jnp.int32(n_valid),
+                              qorder, ax, k=k)
+
+
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                      point_labels: np.ndarray, k: int, bdl_ratio: float,
                      device_ctx: dict | None = None, sampled_dev=None):
@@ -148,10 +308,29 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
         if sampled_dev is None:
             sampled_dev = jnp.asarray(
                 np.ascontiguousarray(sampled_xyz, np.float32))
-        bd_mask, nn1_lab, nn1, nn1_d2, fps_idx = _purity_device_fn(
-            pad_dev, sampled_dev,
-            jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio,
-            n_valid=n0)
+        import os
+
+        m = sampled_xyz.shape[0]
+        use_window = (os.environ.get("TGN_TPU_PURITY", "window") == "window"
+                      and m >= 4096 and n_pad % _WIN_SLABS == 0)
+        if use_window:
+            # reuse the fused FPS partition's argsort of this exact buffer
+            # (device-resident; same key construction) when available
+            qorder = ax = None
+            if (device_ctx is not None
+                    and device_ctx.get("feats_pad_dev") is pad_dev
+                    and "org_order_dev" in device_ctx):
+                qorder = device_ctx["org_order_dev"]
+                ax = device_ctx["org_order_ax"]
+            bd_mask, nn1_lab, nn1, nn1_d2, fps_idx = _purity_window_fn(
+                pad_dev, sampled_dev,
+                jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio,
+                n_valid=n0, qorder=qorder, ax=ax)
+        else:
+            bd_mask, nn1_lab, nn1, nn1_d2, fps_idx = _purity_device_fn(
+                pad_dev, sampled_dev,
+                jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio,
+                n_valid=n0)
         if device_ctx is not None:
             device_ctx["org_pad_dev"] = pad_dev
             device_ctx["bd_mask_dev"] = bd_mask  # device handle survives the fetch

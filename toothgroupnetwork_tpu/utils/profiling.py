@@ -25,12 +25,21 @@ import numpy as np
 
 
 def _dep_scalar(out) -> jnp.ndarray:
-    """A cheap scalar depending on every output leaf (forces sequencing)."""
+    """A cheap scalar depending on EVERY ELEMENT of every output leaf.
+
+    Must be a full reduction, not a single element: depending on ``leaf[0]``
+    alone lets XLA dead-code-eliminate everything not feeding element 0 —
+    measured r4: a 24k tgnet stage-1 forward "cost" 6.2 ms chained (the final
+    heads sliced to one point) while its true wall cost was ~80-90 ms. The
+    reduce itself is one VPU pass over the outputs (negligible next to the
+    work being measured)."""
     s = jnp.float32(0.0)
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype"):
-            # one element per leaf is enough for a data dependency
-            s = s + jax.lax.convert_element_type(leaf.reshape(-1)[0], jnp.float32)
+            if leaf.dtype == jnp.bool_:
+                s = s + jnp.sum(leaf).astype(jnp.float32)
+            else:
+                s = s + jnp.sum(leaf.astype(jnp.float32))
     return s
 
 
