@@ -63,17 +63,17 @@ def device_path_scans_per_sec():
     # Chained timing (utils/profiling.py methodology): each iteration's input
     # depends on the previous output so the n-iteration loop compiles to ONE
     # device program with a single readback — per-dispatch tunnel overheads
-    # otherwise inflate the number ~15%.
+    # otherwise inflate the number ~15%. The dep SUMS every output element
+    # (r4: single-element deps let XLA DCE whole backbones — see
+    # utils/profiling.py:_dep_scalar).
     n_iters = 20
 
     @jax.jit
     def loop(f):
         def body(_, carry):
-            s1, o1, s2, _ci = device_path(carry, centroids, valid)
-            dep = (jax.lax.convert_element_type(s1[0, 0], jnp.float32)
-                   + o1[0, 0, 0] + jax.lax.convert_element_type(
-                       s2[0, 0], jnp.float32)) * jnp.float32(1e-30)
-            return carry * (jnp.float32(1.0) + dep)
+            outs = device_path(carry, centroids, valid)
+            dep = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return carry * (jnp.float32(1.0) + dep * jnp.float32(1e-30))
 
         return jax.lax.fori_loop(0, n_iters, body, f)
 

@@ -216,6 +216,21 @@ class TestKNN:
         d = np.asarray(dist)
         assert (np.diff(d, axis=-1) >= -1e-6).all()
 
+    def test_k_exceeds_n_reference_pad(self, rng):
+        """k > n pads with the cloud's FIRST index at dist2=1e10 — the CUDA
+        knnquery unfilled-heap contract (knnquery_cuda_kernel.cu:87-91) that
+        trained reference checkpoints see at the deepest crop stage
+        (3072 -> 12 points, nsample=24)."""
+        q = rng.standard_normal((7, 3)).astype(np.float32)
+        p = rng.standard_normal((4, 3)).astype(np.float32)
+        idx, dist = knn_points(jnp.array(q), jnp.array(p), 9)
+        idx, dist = np.asarray(idx), np.asarray(dist)
+        d = np_sqdist(q, p)
+        want_idx = np.argsort(d, axis=-1)
+        np.testing.assert_array_equal(idx[:, :4], want_idx)
+        np.testing.assert_array_equal(idx[:, 4:], 0)
+        np.testing.assert_allclose(dist[:, 4:], np.sqrt(1e10), rtol=1e-6)
+
     def test_chunking_consistent(self, rng):
         q = rng.standard_normal((100, 3)).astype(np.float32)
         p = rng.standard_normal((64, 3)).astype(np.float32)
@@ -567,6 +582,68 @@ class TestCellSelectKernel:
         np.testing.assert_array_equal(
             np.asarray(xg.astype(jnp.float32)),
             want.astype(np.float32))
+
+
+class TestWindowedSelfKNN:
+    """ops/knn.py:knn_self_windowed — the r4 inference stage-kNN (axis
+    windows over equal-count slabs). Contracts: self-first with distance 0,
+    and near-perfect neighbor-set recall on SURFACE clouds (the only
+    production input — scans and surface-disk crops; volume balls can lose
+    window recall and are deliberately not claimed)."""
+
+    def test_self_first_and_surface_recall(self, rng, tmp_path):
+        from scipy.spatial import cKDTree
+        from synthetic import write_synthetic_obj
+
+        from toothgroupnetwork_tpu.data.mesh_io import parse_obj
+        from toothgroupnetwork_tpu.data.scan_prep import \
+            normalize_scan_vertices
+        from toothgroupnetwork_tpu.ops.knn import knn_self_windowed
+
+        p = str(tmp_path / "s_lower.obj")
+        write_synthetic_obj(p, n_side=120, seed=0)
+        v, _ = parse_obj(p)
+        v = normalize_scan_vertices(v).astype(np.float32)[:14400]
+        k = 36
+        idx, dist = knn_self_windowed(jnp.asarray(v[None]), k)
+        idx = np.asarray(idx)[0]
+        np.testing.assert_array_equal(idx[:, 0], np.arange(len(v)))
+        assert (np.asarray(dist)[0][:, 0] == 0).all()
+        _, nn = cKDTree(v).query(v, k=k, workers=-1)
+        rows = np.arange(0, len(v), 37)
+        ov = np.array([len(np.intersect1d(idx[i], nn[i])) for i in rows]) / k
+        assert ov.mean() > 0.995
+
+    def test_batched_surface_crops(self, rng, tmp_path):
+        """make_crops-like surface-disk crops (the stage-2 shape class):
+        windowed recall must be ~exact — measured 1.0 on all crops."""
+        from scipy.spatial import cKDTree
+        from synthetic import write_synthetic_obj
+
+        from toothgroupnetwork_tpu.data.mesh_io import parse_obj
+        from toothgroupnetwork_tpu.data.scan_prep import \
+            normalize_scan_vertices
+        from toothgroupnetwork_tpu.ops.knn import knn_self_windowed
+
+        p = str(tmp_path / "s_lower.obj")
+        write_synthetic_obj(p, n_side=170, seed=1)
+        v, _ = parse_obj(p)
+        v = normalize_scan_vertices(v).astype(np.float32)
+        tree = cKDTree(v)
+        cents = v[rng.integers(0, len(v), 4)]
+        _, ci = tree.query(cents, k=3072, workers=-1)
+        crops = np.stack([v[ci[j]] - v[ci[j]].mean(0) for j in range(4)])
+        idx, _ = knn_self_windowed(jnp.asarray(crops), 24)
+        idx = np.asarray(idx)
+        np.testing.assert_array_equal(idx[:, :, 0],
+                                      np.broadcast_to(np.arange(3072),
+                                                      (4, 3072)))
+        for j in range(4):
+            _, nn = cKDTree(crops[j]).query(crops[j], k=24, workers=-1)
+            rows = np.arange(0, 3072, 53)
+            ov = np.array([len(np.intersect1d(idx[j, i], nn[i]))
+                           for i in rows]) / 24
+            assert ov.mean() > 0.995
 
 
 class TestTwoLevelKNN:

@@ -467,6 +467,46 @@ class TestBdlNn1Device:
         np.testing.assert_array_equal(idx6, idx)
         np.testing.assert_array_equal(d26, d2)
 
+    def test_window_variant_matches_kdtree(self, rng, tmp_path):
+        """_bdl_nn1_win_fn (r4: axis-windowed boundary 1-NN) on a synthetic
+        SURFACE scan with a band-shaped boundary must reproduce the KD-tree
+        1-NN up to exact-distance ties (the CPU path has no bf16 selection)."""
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+        from synthetic import write_synthetic_obj
+
+        from toothgroupnetwork_tpu.data.mesh_io import parse_obj
+        from toothgroupnetwork_tpu.data.scan_prep import \
+            normalize_scan_vertices
+        from toothgroupnetwork_tpu.pipelines.tgn import _bdl_nn1_win_fn
+
+        p = str(tmp_path / "s_lower.obj")
+        write_synthetic_obj(p, n_side=100, seed=0)
+        v, _ = parse_obj(p)
+        v = normalize_scan_vertices(v).astype(np.float32)
+        n0 = v.shape[0]
+        n_pad = -(-n0 // 8192) * 8192
+        pad = np.zeros((n_pad, 6), np.float32)
+        pad[:n0, :3] = v
+        # boundary band: vertices near two horizontal lines (tooth-gum-like)
+        band = (np.abs(v[:, 1] - 0.1) < 0.05) | (np.abs(v[:, 1] + 0.4) < 0.05)
+        bd_rows = np.flatnonzero(band)
+        num_bdl, n_bd = 2000, min(len(bd_rows), 1800)
+        sel = np.zeros(n0, np.int32)  # only [:num_bdl] is read
+        sel[:n_bd] = bd_rows[:n_bd]
+        sel_dev = jnp.asarray(sel[:num_bdl] if n0 >= num_bdl
+                              else np.pad(sel, (0, num_bdl - n0))[:num_bdl])
+
+        idx, d2 = jax.device_get(_bdl_nn1_win_fn(
+            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl))
+        bdl_xyz = v[bd_rows[:n_bd]]
+        dist, nn = cKDTree(bdl_xyz).query(v, k=1, workers=-1)
+        assert (idx[:n0] < n_bd).all()
+        # distance is the contract (index ties may differ); require exact d2
+        np.testing.assert_allclose(d2[:n0], dist ** 2, rtol=1e-4, atol=1e-9)
+        agree = (idx[:n0] == nn).mean()
+        assert agree > 0.999
+
     def test_sel_variant_matches_row_upload(self, rng):
         """_bdl_nn1_sel_fn (in-program gather of the boundary cloud from the
         resident padded org upload via the bdl_sel index) must bit-match the

@@ -56,6 +56,55 @@ def main():
     bench_gather(32, idx_sort, "plain/sorted")
     bench_gather(128, idx_sort, "plain/sorted")
 
+    print("\n-- A2: bf16 gathers (serving dtype) --")
+    for c in (32, 64, 128, 256):
+        x = jnp.asarray(rng.standard_normal((N, c)), jnp.float32
+                        ).astype(jnp.bfloat16)
+
+        def fb(x):
+            return jnp.take(x, idx_rand, axis=0)
+
+        dt = chained_time(fb, x, iters=10)
+        useful = R * c * 2
+        print(f"{'bf16/random':<28s} C={c:<4d} {dt * 1e3:7.2f} ms  "
+              f"{useful / dt / 1e9:7.1f} GB/s useful", flush=True)
+
+    print("\n-- A3: crop-stage shape (1.77M rows of [49152, 32] bf16) --")
+    Rc = 16 * 3072 * 36
+    idx_c = jnp.asarray(rng.integers(0, 49152, Rc), jnp.int32)
+    xc = jnp.asarray(rng.standard_normal((49152, 32)), jnp.float32
+                     ).astype(jnp.bfloat16)
+
+    def fc(x):
+        return jnp.take(x, idx_c, axis=0)
+
+    dt = chained_time(fc, xc, iters=8)
+    print(f"{'crop bf16/random':<28s} C=32   {dt * 1e3:7.2f} ms  "
+          f"{Rc * 32 * 2 / dt / 1e9:7.1f} GB/s useful", flush=True)
+
+    print("\n-- A4: one-hot MXU 'gather', CROP shape (per-crop N=3072) --")
+    # viable only when the per-crop source is small: FLOPs = R * N_src * C
+    # (16 crops x 3072 queries x 36 nbrs, N_src 3072, C 32 -> 348 GFLOP bf16)
+    for c, dtt in ((32, jnp.bfloat16),):
+        xb = jnp.asarray(rng.standard_normal((16, 3072, c)),
+                         jnp.float32).astype(dtt)
+        idxb = jnp.asarray(rng.integers(0, 3072, (16, 3072 * 36)), jnp.int32)
+
+        def fo(xb):
+            def crop(args):
+                xc, ic = args                       # [3072, C], [3072*36]
+                def chunk(icc):                     # [6144] rows at a time
+                    oh = (icc[:, None] == jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 3072), 1)).astype(dtt)
+                    return jnp.dot(oh, xc, preferred_element_type=jnp.float32)
+                return jax.lax.map(chunk, ic.reshape(-1, 6144))
+
+            return jax.lax.map(crop, (xb, idxb))
+
+        dt = chained_time(fo, xb, iters=8)
+        print(f"{'one-hot matmul (crop)':<28s} C={c:<4d} {dt * 1e3:7.2f} ms "
+              f" vs plain crop gather above", flush=True)
+
     print("\n-- C: super-row gather [N/8, 8C] + matmul select --")
     # gather super-rows then select 1-of-8 via mask + block-eye matmul
     for c in (32, 128):

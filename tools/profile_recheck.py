@@ -96,6 +96,21 @@ def main():
     num_bdl = pipe.boundary_info["num_of_bdl_points"]
     bench("bdl_nn1_sel approx (DCE-proof)",
           lambda p: tgn_mod._bdl_nn1_sel_fn(p, sel, 18000, num_bdl), pad_dev)
+    bench("bdl_nn1 WINDOW (DCE-proof)",
+          lambda p: tgn_mod._bdl_nn1_win_fn(p, sel, 18000, n0, num_bdl),
+          pad_dev)
+    # window-vs-approx parity at the production shape
+    ia, da = jax.device_get(tgn_mod._bdl_nn1_sel_fn(pad_dev, sel, 18000,
+                                                    num_bdl))
+    iw, dw2 = jax.device_get(tgn_mod._bdl_nn1_win_fn(pad_dev, sel, 18000,
+                                                     n0, num_bdl))
+    dis = ia[:n0] != iw[:n0]
+    import numpy as _np2
+    rel = (_np2.abs(da[:n0] - dw2[:n0])
+           / _np2.maximum(_np2.minimum(da[:n0], dw2[:n0]), 1e-12))
+    print(f"bdl_nn1 window-vs-approx: idx disagree {dis.mean():.4f}; "
+          f"rel-d2 gap max {rel.max():.2e} "
+          f"p999 {_np2.quantile(rel, 0.999):.2e}", flush=True)
     _, _, fused_fn = pb._fps_gather_jits()
     ax = int(np.argmax(bdl_feats[:, :3].var(axis=0)))
     quota_pad = min(-(-(-(-n // 16)) // 128) * 128, -(-n0 // 16))

@@ -46,11 +46,11 @@ def _attention_mode(train: bool, b: int, n: int, k: int, c: int) -> str:
         pattern matmuls. r4: the from-x entry
         (fused_vector_attention_packed_x) projects k/v IN-KERNEL from the raw
         gather, so the layer materializes one [BNK, C] HBM tensor instead of
-        three — the r3 pre-projected variant was traffic-bound (32 vs 43 ms
-        XLA at B16/3072/K36/C32, vs a ~2-4 ms floor). ``auto`` picks it for
-        every large full-res neighborhood (B16/3072 crop stages AND the B1/24k
-        stage-0 blocks — the r3 "loses at B1/24k" verdict measured the
-        pre-projected variant's extra traffic, which from-x removes).
+        three. Measured (r4, DCE-proof): B16/3072/K36/C32 layer 26.0 vs 41.5
+        XLA (block 28.4 vs 38.6) — the remaining cost is the kNN row gather
+        itself (21.4 ms of the 26); at B1/24k the LAYER is a wash (12.0 vs
+        12.9) but the BLOCK regresses (15.2 vs 12.9 — f32 kernel output
+        forces extra dtype hops in the glue), so ``auto`` keeps XLA at B1.
       * ``fused`` — the naive [TR·K, C] kernel: 16.3 ms/layer (3/4 lane waste,
         3D softmax relayouts); kept as a baseline for kernel iteration.
     """
@@ -60,7 +60,7 @@ def _attention_mode(train: bool, b: int, n: int, k: int, c: int) -> str:
     if mode != "auto":
         return mode
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and b * n * k >= 500_000 and k * c <= 1536:
+    if on_tpu and b > 1 and b * n * k >= 10 ** 6 and k * c <= 1536:
         return "packed"
     return "xla"
 
@@ -445,9 +445,11 @@ class PointTransformerSeg(nn.Module):
                 cell_ctx = (self._cell_ctx(p, knn_idx, train)
                             if sorted_chain else None)
             else:
-                knn_idx, _ = knn_points(p, p, self.nsample[i], mask, mask,
-                                        include_self=True, need_dist=False,
-                                        sel_bf16=not train)
+                from ...ops.knn import knn_self
+
+                # windowed at inference on large unmasked clouds (r4: the
+                # [N, N] selection is 18 ms at 24k / 13.8 ms at 16x3072)
+                knn_idx, _ = knn_self(p, self.nsample[i], mask, train=train)
                 cell_ctx = (self._cell_ctx(p, knn_idx, train)
                             if sorted_chain else None)
                 # relative-position gather hoisted: shared by every block in

@@ -195,10 +195,19 @@ def knn_points(
         else:
             vals, idx = jax.lax.top_k(-d2, keff)
         if keff < k:
-            # Fewer points than neighbors requested: repeat the last neighbor.
-            idx = jnp.concatenate([idx] + [idx[..., -1:]] * (k - keff), axis=-1)
+            # Fewer points than neighbors requested: pad with the cloud's
+            # FIRST index at dist2=1e10 — the CUDA knnquery's unfilled-heap
+            # semantics (knnquery_cuda_kernel.cu:87-91, heap slots init to
+            # {start, 1e10} and sort to the tail). Trained reference
+            # checkpoints see exactly this at the deepest crop stage
+            # (3072 -> 12 points with nsample=24), so weight-transfer parity
+            # requires reproducing it rather than repeating the last real
+            # neighbor.
+            idx = jnp.concatenate(
+                [idx] + [jnp.zeros_like(idx[..., :1])] * (k - keff), axis=-1)
             vals = jnp.concatenate(
-                [vals] + [vals[..., -1:]] * (k - keff), axis=-1)
+                [vals] + [jnp.full_like(vals[..., :1], -1e10)] * (k - keff),
+                axis=-1)
         dup = None
         if include_self:
             # Prepend the query's own index as candidate 0 and drop any duplicate
@@ -220,6 +229,13 @@ def knn_points(
             neigh = index_points(points, idx)          # [B, csize, k(+1), C]
             delta = qc[:, :, None, :] - neigh
             d2_sel = jnp.sum(delta * delta, axis=-1)
+            if keff < k:
+                # keep the k>n pad sentinel: re-scoring pad index 0 would
+                # assign its true distance and re-sort it forward, breaking
+                # the CUDA tail contract above
+                ncols = d2_sel.shape[-1]
+                pad_col = jnp.arange(ncols) >= ncols - (k - keff)
+                d2_sel = jnp.where(pad_col, jnp.float32(1e10), d2_sel)
             if include_self:
                 d2_sel = jnp.concatenate(
                     [d2_sel[..., :1],
@@ -410,6 +426,111 @@ def knn_two_level(
         idx = jnp.concatenate([idx] + [idx[:, -1:]] * (k - keff), axis=1)
         d2k = jnp.concatenate([d2k] + [d2k[:, -1:]] * (k - keff), axis=1)
     return idx.astype(jnp.int32), d2k
+
+
+@partial(jax.jit, static_argnames=("k", "n_slabs", "win_frac", "sel_bf16"))
+def knn_self_windowed(points, k: int, *, n_slabs: int = 16,
+                      win_frac: int = 5, sel_bf16: bool = False):
+    """Axis-windowed SELF-kNN for large unmasked clouds —
+    ``[B, N, 3] -> (idx [B, N, k] int32, d2 [B, N, k] selection-precision)``,
+    with the ``include_self`` guarantee (own index first, distance 0).
+
+    The serving backbone's per-stage self-kNN is selection-traffic-bound
+    (24000^2 = 18 ms, 16 crops x 3072^2 = 13.8 ms, r4 A/B): each batch cloud
+    is argsorted along its max-variance axis, split into ``n_slabs``
+    equal-count slabs, and each slab's queries score only a STATIC
+    quantile-aligned window of ``win_frac/n_slabs`` of the cloud — a 16/5
+    layout cuts the [N, N] matrix 3.2x. Same scheme and caveats as the
+    serving-side windowed queries (postprocess/boundary.py:_purity_window_fn):
+    candidate membership is window-bounded + approx_max_k recall (~.95) +
+    optional bf16-selection ties; consumers are the attention/TransitionDown
+    neighbor SETS, which already accept the approx scope
+    (knn_points docstring). Inference-only by construction — callers gate on
+    ``train`` (train keeps the flat path, whose statistics the parity tests
+    pin). Requires N % n_slabs == 0 and no mask (callers fall back
+    otherwise).
+    """
+    b, n, _ = points.shape
+    ns = n_slabs
+    cl = n // ns
+    win_w = min(n, cl * win_frac)
+    starts_py = [min(max((s - win_frac // 2) * cl, 0), n - win_w)
+                 for s in range(ns)]
+
+    p = points.astype(jnp.float32)
+    ax = jnp.argmax(jnp.var(p, axis=1), axis=-1)              # [B]
+    val = jnp.take_along_axis(
+        p, jnp.broadcast_to(ax[:, None, None], (b, n, 1)), axis=2)[..., 0]
+    order = jnp.argsort(val, axis=1).astype(jnp.int32)        # [B, N]
+    from .gather import index_points
+
+    ps = index_points(p, order)                               # [B, N, 3]
+    q = ps.reshape(b, ns, cl, 3).reshape(b * ns, cl, 3)
+    win = jnp.stack([jax.lax.slice(ps, (0, st, 0), (b, st + win_w, 3))
+                     for st in starts_py], axis=1)            # [B, ns, W, 3]
+    win = win.reshape(b * ns, win_w, 3)
+
+    d2 = _batched_sqdist(q, win)                              # [B·ns, cl, W]
+    keff = min(k, win_w)
+    if sel_bf16:
+        vals, idx = jax.lax.approx_max_k((-d2).astype(jnp.bfloat16), keff,
+                                         recall_target=0.95)
+        vals = vals.astype(jnp.float32)
+    else:
+        vals, idx = jax.lax.approx_max_k(-d2, keff, recall_target=0.95)
+
+    # include_self: own window-local index first, drop its duplicate — the
+    # sort-free shifted-slice dedup from knn_points's fast path
+    starts = jnp.asarray(starts_py, jnp.int32)                # [ns]
+    self_loc = (jnp.arange(n, dtype=jnp.int32).reshape(ns, cl)
+                - starts[:, None])                            # [ns, cl]
+    self_col = jnp.broadcast_to(self_loc[None], (b, ns, cl)
+                                ).reshape(b * ns, cl)[..., None]
+    dup = idx == self_col
+    idx = jnp.concatenate([self_col, idx], axis=-1)
+    d2s = jnp.maximum(-vals, 0.0)
+    zeros = jnp.zeros(d2s[..., :1].shape, d2s.dtype)
+    d2s = jnp.concatenate([zeros, jnp.where(dup, _BIG, d2s)], axis=-1)
+    any_dup = jnp.any(dup, axis=-1)
+    dpos = jnp.where(any_dup, jnp.argmax(dup, axis=-1), keff - 1)
+    j = jnp.arange(keff - 1, dtype=jnp.int32)
+    sel = j >= dpos[..., None]
+    cand_idx = jnp.where(sel, idx[..., 2:keff + 1], idx[..., 1:keff])
+    cand_d2 = jnp.where(sel, d2s[..., 2:keff + 1], d2s[..., 1:keff])
+    idx = jnp.concatenate([idx[..., :1], cand_idx], axis=-1)  # [B·ns, cl, k]
+    d2o = jnp.concatenate([d2s[..., :1], cand_d2], axis=-1)
+
+    # window-local -> sorted position -> ORIGINAL index; scatter rows back to
+    # original query order
+    gsort = (starts[None, :, None, None]
+             + idx.reshape(b, ns, cl, keff))                  # [B,ns,cl,k]
+    gidx = index_points(order[..., None], gsort.reshape(b, n, keff)
+                        )[..., 0].astype(jnp.int32)           # [B, N, k]
+    out_i = jnp.zeros((b, n, keff), jnp.int32)
+    out_d = jnp.zeros((b, n, keff), jnp.float32)
+    brow = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    out_i = out_i.at[brow, order].set(gidx)
+    out_d = out_d.at[brow, order].set(d2o.reshape(b, n, keff))
+    if keff < k:
+        out_i = jnp.concatenate([out_i] + [out_i[..., -1:]] * (k - keff), -1)
+        out_d = jnp.concatenate([out_d] + [out_d[..., -1:]] * (k - keff), -1)
+    dist = jnp.where(out_d > 0, jnp.sqrt(jnp.where(out_d > 0, out_d, 1.0)),
+                     0.0)
+    return out_i, dist
+
+
+def knn_self(points, k, p_mask=None, *, train: bool = True, **kw):
+    """Self-kNN dispatcher for the backbone's per-stage neighborhoods:
+    windowed at inference on large unmasked TPU clouds (see
+    :func:`knn_self_windowed`), the flat exact/approx path otherwise."""
+    n = points.shape[1]
+    if (not train and p_mask is None and _use_approx_topk()
+            and n >= 2048 and n % 16 == 0
+            and os.environ.get("TGN_TPU_STAGE_KNN", "window") == "window"):
+        return knn_self_windowed(points, k, sel_bf16=not train)
+    return knn_points(points, points, k, p_mask, p_mask,
+                      include_self=True, need_dist=False,
+                      sel_bf16=not train, **kw)
 
 
 def knn(query, points, k, q_mask=None, p_mask=None, **kw):

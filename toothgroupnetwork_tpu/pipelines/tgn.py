@@ -61,6 +61,7 @@ def _pad_centroids(centroids: list[np.ndarray], k_max: int = K_MAX):
 
 _bdl_nn1_jit = None
 _bdl_nn1_sel_jit = None
+_bdl_nn1_win_jit = None
 
 
 def _nn1_chunked(q, p):
@@ -131,6 +132,118 @@ def _bdl_nn1_sel_fn(org_pad, sel, n_bd, num_bdl: int):
 
         _bdl_nn1_sel_jit = fn
     return _bdl_nn1_sel_jit(org_pad, sel, jnp.int32(n_bd), num_bdl=num_bdl)
+
+
+def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
+                    qorder=None, ax=None):
+    """Axis-windowed variant of :func:`_bdl_nn1_sel_fn` — same contract
+    ``(idx [Npad] into the boundary cloud, d2 [Npad])``, with the [Npad, P]
+    distance work cut to a 5/16 window (the same slab scheme as
+    ``postprocess.boundary._purity_window_fn``; ``qorder``/``ax`` reuse the
+    fused-FPS partition's argsort of the padded org buffer when provided).
+
+    Exactness: the re-scored d2 is exact f32 for the returned candidate;
+    candidate membership carries the bf16-selection near-tie caveat PLUS the
+    window bound. The window is quantile-aligned on the BOUNDARY cloud — for
+    the vertices where the boundary half can actually win the final transfer
+    (d_b < d_sampled ~ the sampled-cloud spacing), the true winner is within
+    that spacing of the query and thus inside a +-2-slab window except under
+    implausible axis-density pathologies (contract-tested vs the KD-tree on
+    synthetic scans, tests/test_tgn_pipeline.py)."""
+    global _bdl_nn1_win_jit
+    if _bdl_nn1_win_jit is None:
+        from functools import partial
+
+        from ..ops.gather import index_points
+
+        @partial(jax.jit, static_argnames=("num_bdl",))
+        def fn(org_pad, sel, n_bd, n_valid, qorder, ax, num_bdl):
+            org = org_pad[:, :3].astype(jnp.float32)
+            npad = org.shape[0]
+            ns = 16
+            chunk_pad = npad // ns
+            win_w = min(num_bdl, -(-num_bdl * 5 // ns))
+
+            brows = jnp.take(org, sel[:num_bdl], axis=0)     # [P, 3]
+            live = jnp.arange(num_bdl) < n_bd
+            if ax is None:
+                ax = jnp.argmax(jnp.var(brows, axis=0)).astype(jnp.int32)
+            bval = jnp.where(live, jnp.take(brows, ax, axis=1), jnp.inf)
+            border = jnp.argsort(bval).astype(jnp.int32)     # dead rows last
+            rows_s = jnp.take(brows, border, axis=0)
+            live_s = jnp.take(live, border)
+            rows_s = jnp.where(live_s[:, None], rows_s, 1e6)
+            # window starts are LIVE-row quantiles (dynamic: n_bd varies per
+            # scan) — laying them out over the full num_bdl slots would point
+            # edge slabs at dead sentinel rows whenever n_bd < num_bdl
+            starts = jnp.stack([jnp.clip((s - 2) * n_bd // ns, 0,
+                                         jnp.maximum(n_bd - win_w, 0))
+                                for s in range(ns)]).astype(jnp.int32)
+            win = jnp.stack([jax.lax.dynamic_slice(
+                rows_s, (starts[s], 0), (win_w, 3)) for s in range(ns)])
+
+            i = jnp.arange(npad, dtype=jnp.int32)
+            if qorder is None:
+                key = jnp.where(i < n_valid, jnp.take(org, ax, axis=1),
+                                jnp.inf)
+                qorder = jnp.argsort(key).astype(jnp.int32)
+            chunk_len = (n_valid + ns - 1) // ns
+            slab = i // chunk_len
+            pos = i - slab * chunk_len
+            qrows = jnp.take(org, qorder, axis=0)
+            q = jnp.zeros((ns, chunk_pad, 3), jnp.float32
+                          ).at[slab, pos].set(qrows, mode="drop")
+            qgidx = jnp.full((ns, chunk_pad), npad, jnp.int32
+                             ).at[slab, pos].set(qorder, mode="drop")
+
+            # batched chunked d2 + approx top-8 (bf16 selection) + re-score
+            import os
+
+            sel_bf16 = os.environ.get("TGN_TPU_KNN_SEL", "auto") != "f32"
+            wn = win.astype(jnp.float32)
+            w2 = jnp.sum(wn * wn, axis=-1)                   # [ns, W]
+
+            def chunk(args):
+                qc, wc, w2c = args                           # [ns, C, 3] ...
+                d2 = (jnp.sum(qc * qc, -1, keepdims=True)
+                      - 2.0 * jnp.einsum(
+                          "scj,swj->scw", qc, wc,
+                          precision=jax.lax.Precision.HIGHEST)
+                      + w2c[:, None, :])
+                sd = (-d2).astype(jnp.bfloat16) if sel_bf16 else -d2
+                _, cand = jax.lax.approx_max_k(sd, 8, recall_target=0.95)
+                cx = index_points(wc, cand)                  # [ns, C, 8, 3]
+                delta = qc[:, :, None, :] - cx
+                d2x = jnp.sum(delta * delta, -1)
+                best = jnp.argmin(d2x, -1)
+                idx = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
+                dd = jnp.take_along_axis(d2x, best[..., None], -1)[..., 0]
+                return idx.astype(jnp.int32), dd
+
+            n_ch = 4 if chunk_pad % 4 == 0 else 1  # chunk_pad is a multiple
+            csz = chunk_pad // n_ch                # of 512 (npad of 8192s)
+            qs = jnp.moveaxis(q.reshape(ns, n_ch, csz, 3), 1, 0)
+            wrep = jnp.broadcast_to(win[None], (n_ch,) + win.shape)
+            w2rep = jnp.broadcast_to(w2[None], (n_ch,) + w2.shape)
+            idx_l, dd = jax.lax.map(chunk, (qs, wrep, w2rep))
+            idx_l = jnp.moveaxis(idx_l, 0, 1).reshape(ns, chunk_pad)
+            dd = jnp.moveaxis(dd, 0, 1).reshape(ns, chunk_pad)
+
+            # window-local -> boundary-cloud numbering (position in sel[:P])
+            bidx = jnp.take(border, starts[:, None] + idx_l)
+
+            flat = qgidx.reshape(-1)
+            out_i = jnp.zeros((npad,), jnp.int32).at[flat].set(
+                bidx.reshape(-1), mode="drop")
+            out_d = jnp.full((npad,), 1e30, jnp.float32).at[flat].set(
+                dd.reshape(-1), mode="drop")
+            return out_i, out_d
+
+        _bdl_nn1_win_jit = fn
+    if ax is not None:
+        ax = jnp.int32(ax)
+    return _bdl_nn1_win_jit(org_pad, sel, jnp.int32(n_bd), jnp.int32(n_valid),
+                            qorder, ax, num_bdl=num_bdl)
 
 
 def _bdl_nn1_fn(org_pad, bdl_pad):
@@ -491,7 +604,26 @@ class TgnInferencePipeline:
             sel_dev = jnp.asarray(device_ctx["bdl_sel"])
         num_bdl = self.boundary_info["num_of_bdl_points"]
         if n_bd and "org_pad_dev" in device_ctx:
-            if sel_dev is not None:
+            import os as _os2
+
+            if (sel_dev is not None
+                    and _os2.environ.get("TGN_TPU_BDLNN1", "window")
+                    == "window"
+                    and device_ctx["org_pad_dev"].shape[0] % 16 == 0):
+                # the fused-FPS argsort is only valid for ITS buffer (the sel
+                # route already guarantees org_pad_dev is feats_pad_dev)
+                same_buf = (device_ctx.get("feats_pad_dev")
+                            is device_ctx["org_pad_dev"])
+                nn1_b_fut = _bdl_nn1_win_fn(
+                    device_ctx["org_pad_dev"], sel_dev, n_bd,
+                    device_ctx.get("n_org",
+                                   device_ctx["org_pad_dev"].shape[0]),
+                    num_bdl,
+                    qorder=(device_ctx.get("org_order_dev")
+                            if same_buf else None),
+                    ax=(device_ctx.get("org_order_ax")
+                        if same_buf else None))
+            elif sel_dev is not None:
                 nn1_b_fut = _bdl_nn1_sel_fn(device_ctx["org_pad_dev"],
                                             sel_dev, n_bd, num_bdl)
             else:
