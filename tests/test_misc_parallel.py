@@ -490,3 +490,72 @@ class TestShardedCropStage:
         for key in ("sem_1", "offset_1"):
             np.testing.assert_allclose(np.asarray(got[key]),
                                        np.asarray(want[key]), atol=2e-5)
+
+
+class TestPointShardedTrainStep:
+    """parallel/sharded_train.py — TRAINING with the POINT axis sharded over
+    the mesh (GSPMD; round-3 verdict weak item 8's growth path). One step of
+    the point-sharded train step must match the single-device dense step:
+    same losses AND same updated BatchNorm batch_stats (the global-moment
+    requirement that the shard_map eval path cannot provide)."""
+
+    def _setup(self):
+        from toothgroupnetwork_tpu.models import get_task
+        from toothgroupnetwork_tpu.train.train_state import create_train_state
+
+        task = get_task("pointtransformer")
+        cfg = task.default_config()
+        cfg.model_parameter.update({
+            "planes": [8, 16], "stride": [1, 4], "nsample": [8, 8],
+            "blocks": [2, 2], "block_num": 2})
+        module = task.build_module(cfg)
+        rng = np.random.default_rng(3)
+        n = 512  # divisible by 8 devices
+        batch = {"feat": rng.standard_normal((2, n, 6)).astype(np.float32) * .3,
+                 "gt_seg_label": rng.integers(0, 17, (2, n)).astype(np.int32),
+                 "mask": np.ones((2, n), bool)}
+        state = create_train_state(module, cfg.optimizer, batch,
+                                   jax.random.PRNGKey(0),
+                                   task.forward_kwargs(batch))
+        return task, cfg, state, batch
+
+    def test_matches_dense_step(self):
+        from toothgroupnetwork_tpu.parallel.sharded_train import (
+            make_point_sharded_train_step, shard_batch_points)
+        from toothgroupnetwork_tpu.train.trainer import make_train_step
+
+        task, cfg, state, batch = self._setup()
+        dense = jax.jit(make_train_step(task, cfg))
+        want_state, want_vals = dense(state, {k: jnp.asarray(v)
+                                              for k, v in batch.items()})
+
+        mesh = make_data_mesh(8, axis="points")
+        step = make_point_sharded_train_step(task, cfg, mesh)
+        got_state, got_vals = step(state, shard_batch_points(batch, mesh))
+
+        for k in want_vals:
+            np.testing.assert_allclose(float(got_vals[k]),
+                                       float(want_vals[k]), rtol=2e-5,
+                                       atol=1e-6)
+        # BN global moments: every updated running stat must match the dense
+        # step's (point shards alone would disagree on means/vars)
+        want_bn = jax.tree.leaves(want_state.batch_stats)
+        got_bn = jax.tree.leaves(got_state.batch_stats)
+        assert len(want_bn) == len(got_bn) > 0
+        for w, g in zip(want_bn, got_bn):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_batch_leaves_sharded(self):
+        """shard_batch_points must actually lay the point axis over the mesh
+        (a replicated fallback would silently defeat the memory scaling)."""
+        from toothgroupnetwork_tpu.parallel.sharded_train import (
+            shard_batch_points)
+
+        _, _, _, batch = self._setup()
+        mesh = make_data_mesh(8, axis="points")
+        db = shard_batch_points(batch, mesh)
+        shardings = {k: v.sharding.spec for k, v in db.items()}
+        assert shardings["feat"][1] == "points"
+        assert shardings["gt_seg_label"][1] == "points"
+        assert not db["feat"].is_fully_replicated

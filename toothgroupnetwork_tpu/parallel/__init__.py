@@ -21,9 +21,14 @@ from .sharded_backbone import (
     sharded_encoder_stage,
     extract_block_params,
 )
+from .sharded_train import (
+    make_point_sharded_train_step,
+    shard_batch_points,
+)
 
 __all__ = ["make_data_mesh", "shard_batch", "replicate",
            "sharded_square_distance", "ring_knn", "maybe_initialize",
            "local_batch_slice", "sharded_transition_down",
            "sharded_point_transformer_block", "sharded_transition_up",
-           "sharded_encoder_stage", "extract_block_params"]
+           "sharded_encoder_stage", "extract_block_params",
+           "make_point_sharded_train_step", "shard_batch_points"]
