@@ -69,6 +69,15 @@ def knnquery(nsample, xyz, new_xyz, offset, new_offset):
         d2 = ((q[ns:ne, None, :] - p[None, s:e, :]) ** 2).sum(-1)
         order = np.argsort(d2, axis=-1, kind="stable")[:, :nsample]
         dd = np.take_along_axis(d2, order, axis=-1)
+        if order.shape[1] < nsample:
+            # k > n: the CUDA kernel leaves unfilled heap slots at the
+            # segment's FIRST index with dist2=1e10, sorted to the tail
+            # (knnquery_cuda_kernel.cu:87-91) — models rely on it at the
+            # deepest crop stages (3072 -> 12 points, nsample=24)
+            pad = nsample - order.shape[1]
+            order = np.pad(order, ((0, 0), (0, pad)))
+            order[:, -pad:] = 0
+            dd = np.pad(dd, ((0, 0), (0, pad)), constant_values=1e10)
         idx_out.append(order + s)
         d_out.append(np.sqrt(np.maximum(dd, 0.0)))
     return (torch.tensor(np.concatenate(idx_out), dtype=torch.int32),
@@ -110,11 +119,17 @@ def install():
     stub.knnquery = knnquery
     stub.queryandgroup = queryandgroup
     stub.interpolation = interpolation
+    import os
+
     for name in ("external_libs", "external_libs.pointops",
                  "external_libs.pointops.functions"):
         if name not in sys.modules:
             pkg = types.ModuleType(name)
-            pkg.__path__ = []
+            # real directory on __path__ so SIBLING submodules (e.g.
+            # external_libs.pointnet2_utils, used by ops_utils) still import
+            # from disk; the pointops stub itself wins via sys.modules
+            pkg.__path__ = [os.path.join("/root/reference",
+                                         *name.split("."))]
             sys.modules[name] = pkg
     sys.modules["external_libs.pointops.functions.pointops"] = stub
 

@@ -76,6 +76,12 @@ def get_clustering_labels(moved_points: np.ndarray, labels: np.ndarray):
     """
     teeth_cond = labels != 0
     fg = moved_points[teeth_cond, :]
+    if fg.shape[0] == 0:
+        # zero-foreground scan (e.g. an edentulous jaw or a degenerate
+        # checkpoint): no instances. The reference crashes here
+        # (ops_utils.py:95 DBSCAN on an empty array) — robustness guard, same
+        # family as the <4-cluster PCA-test guard below.
+        return np.zeros((0,), dtype=np.int64)
 
     clustering = DBSCAN(eps=0.03, min_samples=30).fit(fg)
     clustering_labels = clustering.labels_.copy()
