@@ -25,7 +25,9 @@ import types
 
 import numpy as np
 
-import ref_cbl  # noqa: F401  (installs pointops stub + cuda patches, adds /root/reference to sys.path)
+import ref_cbl  # adds /root/reference to sys.path
+
+ref_cbl.install()  # pointops stub + torch .cuda() no-ops
 
 
 def _install_fakes():
@@ -127,6 +129,14 @@ def make_reference_checkpoints(tmpdir, seed: int = 0):
         "crop_sample_size": 3072}}
     fps_mod = GroupingNetworkModule(fps_cfg)
     bdl_mod = GroupingNetworkModule(bdl_cfg)
+    # NOTE: random-init weights cannot drive the full pipelines — the
+    # reference hard-crashes on degenerate predictions (empty-foreground
+    # DBSCAN at ops_utils.py:95, PCA over <3 instance centers at
+    # inference_pipeline_tgn.py:76) and a random net cannot be made to
+    # reliably satisfy its happy-path branch preconditions. The pipeline
+    # parity test therefore INJECTS structured leaf models on both stacks
+    # (see make_structured_leaf_models / FakeTGNet) and uses these random
+    # checkpoints only to CONSTRUCT the pipelines.
     fps_path = str(tmpdir / "ref_fps.h5")
     bdl_path = str(tmpdir / "ref_bdl.h5")
     torch.save(fps_mod.state_dict(), fps_path)
@@ -147,3 +157,89 @@ def build_reference_tgn_pipeline(fps_ckpt: str, bdl_ckpt: str,
             "num_of_all_points": 24000},
     }
     return InferencePipeLine(config)
+
+
+# ---------------------------------------------------------------------------
+# Structured leaf models for WHOLE-pipeline parity (test_ref_pipeline_parity)
+# ---------------------------------------------------------------------------
+#
+# Both stacks' pipelines are driven with the same deterministic tooth-like
+# predictor in place of the trained backbones (random init cannot satisfy the
+# reference's happy-path branch preconditions — see the note in
+# make_reference_checkpoints). The predictor is a pure function of the input
+# coordinates, so every HOST/DEVICE algorithm downstream of the nets — FPS,
+# cropping, vote aggregation, DBSCAN/MeanShift/KMeans instancing, boundary
+# purity resampling, arch disambiguation, boundary-cluster fusion, final 1-NN
+# transfer, FDI remap — runs its full production path on identical inputs.
+#
+# Geometry: T tooth centers; points within `radius` of a center get sem class
+# (t % 9) + 1 (classes 1..9 so the 11/12-incisor arch branch at
+# inference_pipeline_tgn.py:78 is exercised); points within `pull_radius` are
+# offset-contracted 10x toward the center, so moved-point clusters are tight
+# (DBSCAN-clean), non-degenerate (no zero-variance PCA), and well-separated
+# (no MeanShift resplit — where the documented bin_seeding deviation lives).
+# Crop-stage (binary) foreground: within `radius` of the CENTERED crop origin.
+
+STRUCT_RADIUS = 0.05
+STRUCT_PULL_RADIUS = 0.12
+STRUCT_CONTRACT = 0.9
+
+
+def pick_tooth_centers(vertices: np.ndarray, t: int = 9) -> np.ndarray:
+    """T arch points spread along the x-quantiles of a normalized scan."""
+    order = np.argsort(vertices[:, 0], kind="stable")
+    rows = order[((np.arange(t) + 0.5) / t * len(order)).astype(int)]
+    return vertices[rows, :3].astype(np.float32)
+
+
+def make_structured_leaf_models(centers: np.ndarray):
+    """Torch replacements for first_ins_cent_model / second_ins_cent_model.
+
+    Interface contract (grouping_network_module.py:13-14, 36, 91):
+    ``model([x])`` with x [B, C, N] -> (sem [B, K, N], offset [B, 3, N],
+    mask [B, 2, N], features [B, 32, N]).
+    """
+    import torch
+
+    c_t = torch.from_numpy(centers.astype(np.float32))        # [T, 3]
+
+    class _FakeFirst(torch.nn.Module):
+        def forward(self, inputs):
+            x = inputs[0]
+            b, _, n = x.shape
+            xyz = x[:, :3, :].permute(0, 2, 1).float()        # [B, N, 3]
+            d = torch.cdist(xyz.reshape(-1, 3), c_t).reshape(b, n, -1)
+            dmin, t = d.min(dim=-1)
+            fg = dmin < STRUCT_RADIUS
+            cls = torch.where(fg, (t % 9) + 1, torch.zeros_like(t))
+            sem = torch.nn.functional.one_hot(cls, 10).float() * 8.0
+            pull = (dmin < STRUCT_PULL_RADIUS)[..., None]
+            off = torch.where(pull, STRUCT_CONTRACT * (c_t[t] - xyz),
+                              torch.zeros_like(xyz))
+            mask = torch.nn.functional.one_hot(fg.long(), 2).float() * 8.0
+            feats = torch.zeros(b, 32, n)
+            return (sem.permute(0, 2, 1), off.permute(0, 2, 1),
+                    mask.permute(0, 2, 1), feats)
+
+    class _FakeSecond(torch.nn.Module):
+        def forward(self, inputs):
+            x = inputs[0]                                     # CENTERED crops
+            b, _, n = x.shape
+            xyz = x[:, :3, :].permute(0, 2, 1).float()
+            fg = xyz.norm(dim=-1) < STRUCT_RADIUS
+            sem = torch.nn.functional.one_hot(fg.long(), 2).float() * 8.0
+            off = torch.zeros_like(xyz)
+            return (sem.permute(0, 2, 1), off.permute(0, 2, 1), sem.clone()
+                    .permute(0, 2, 1), torch.zeros(b, 32, n))
+
+    return _FakeFirst(), _FakeSecond()
+
+
+def inject_structured_models(ref_pipe, centers: np.ndarray):
+    """Swap the leaf nets of BOTH GroupingNetworkModules of the reference
+    pipeline for the structured predictors (everything else stays real)."""
+    for mod in (ref_pipe.first_module, ref_pipe.bdl_module):
+        fake1, fake2 = make_structured_leaf_models(centers)
+        mod.first_ins_cent_model = fake1
+        mod.second_ins_cent_model = fake2
+    return ref_pipe

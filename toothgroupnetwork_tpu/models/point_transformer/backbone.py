@@ -400,6 +400,13 @@ class PointTransformerSeg(nn.Module):
     # FPS); an unsorted cloud silently degrades neighbor coverage.
     cell_attention: bool = False
     cell_slots: int = 32
+    # the caller guarantees ``mask`` is CONSTANT within each batch cloud
+    # (whole-cloud validity, e.g. the 16 fixed crop slots of TGNet.stage2):
+    # the stage-0 self-kNN may then take the windowed inference path even
+    # with a mask — live clouds are fully valid (window exactness unchanged)
+    # and dead clouds produce garbage neighborhoods that are masked
+    # downstream anyway.
+    mask_per_cloud: bool = False
 
     def _cell_ctx(self, p, knn_idx, train: bool):
         """Per-stage super-row candidate context (or None when ineligible):
@@ -449,7 +456,8 @@ class PointTransformerSeg(nn.Module):
 
                 # windowed at inference on large unmasked clouds (r4: the
                 # [N, N] selection is 18 ms at 24k / 13.8 ms at 16x3072)
-                knn_idx, _ = knn_self(p, self.nsample[i], mask, train=train)
+                knn_idx, _ = knn_self(p, self.nsample[i], mask, train=train,
+                                      mask_per_cloud=self.mask_per_cloud)
                 cell_ctx = (self._cell_ctx(p, knn_idx, train)
                             if sorted_chain else None)
                 # relative-position gather hoisted: shared by every block in

@@ -118,8 +118,11 @@ class TGNet(nn.Module):
                   cell_attention=self.cell_attention)
         self.first_ins_cent_model = PointTransformerSeg(k=10, name="first", **kw)
         # the crop stage runs batched (B*K crops) — cell path self-disables
-        # there (B != 1), so sharing the flag is harmless
-        self.second_ins_cent_model = PointTransformerSeg(k=2, name="second", **kw)
+        # there (B != 1), so sharing the flag is harmless. Crop masks are
+        # whole-crop validity planes (make_crops broadcasts crop_valid), so
+        # the stage-0 self-kNN may window under them (mask_per_cloud).
+        self.second_ins_cent_model = PointTransformerSeg(
+            k=2, name="second", mask_per_cloud=True, **kw)
 
     def __call__(self, feat, mask=None, train: bool = True, labels=None):
         """Full train-path forward: stage 1 + GT-centroid crops + stage 2.

@@ -519,12 +519,18 @@ def knn_self_windowed(points, k: int, *, n_slabs: int = 16,
     return out_i, dist
 
 
-def knn_self(points, k, p_mask=None, *, train: bool = True, **kw):
+def knn_self(points, k, p_mask=None, *, train: bool = True,
+             mask_per_cloud: bool = False, **kw):
     """Self-kNN dispatcher for the backbone's per-stage neighborhoods:
     windowed at inference on large unmasked TPU clouds (see
-    :func:`knn_self_windowed`), the flat exact/approx path otherwise."""
+    :func:`knn_self_windowed`), the flat exact/approx path otherwise.
+    ``mask_per_cloud``: the caller guarantees ``p_mask`` is constant within
+    each batch cloud (whole-crop validity) — the windowed path is then valid
+    under a mask too (dead clouds yield garbage neighborhoods that the
+    caller masks downstream)."""
     n = points.shape[1]
-    if (not train and p_mask is None and _use_approx_topk()
+    if (not train and (p_mask is None or mask_per_cloud)
+            and _use_approx_topk()
             and n >= 2048 and n % 16 == 0
             and os.environ.get("TGN_TPU_STAGE_KNN", "window") == "window"):
         return knn_self_windowed(points, k, sel_bf16=not train)

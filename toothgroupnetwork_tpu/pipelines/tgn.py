@@ -309,7 +309,8 @@ def _final_transfer_fns():
 class TgnInferencePipeline:
     def __init__(self, fps_ckpt: str, bdl_ckpt: str, config=None,
                  bdl_arch: dict | None = None, n_sample: int = N_SAMPLE,
-                 boundary_info: dict | None = None):
+                 boundary_info: dict | None = None,
+                 inject_modules: tuple | None = None):
         from ..models import get_task
         from ..train.checkpoints import load_weights
         from ..utils.compile_cache import ensure_compile_cache
@@ -343,28 +344,41 @@ class TgnInferencePipeline:
             "boundary_info: num_of_bdl_points must be <= num_of_all_points "
             f"(got {self.boundary_info})")
 
-        self.fps_module = task.build_module(cfg)
-        # bdl module arch (train_configs/tgnet_bdl.py model_parameter)
-        bdl_arch = dict(bdl_arch or dict(planes=(16, 32), stride=(1, 1),
-                                         nsample=(36, 24), blocks=(2, 3),
-                                         block_num=2))
-        bdl_arch.setdefault("cell_attention",
-                            cfg.model_parameter["cell_attention"])
-        self.bdl_module = TGNet(crop_size=self.crop_size, c=6, **bdl_arch)
+        if inject_modules is not None:
+            # dependency injection (whole-pipeline parity tests drive every
+            # host/device algorithm with structured stand-in predictors):
+            # (fps_module, fps_vars, bdl_module, bdl_vars) replace the built
+            # modules and checkpoint loading; stage jits below resolve
+            # methods on type(module), so any .stage1/.stage2 module works
+            (self.fps_module, self.fps_vars,
+             self.bdl_module, self.bdl_vars) = inject_modules
+        else:
+            self.fps_module = task.build_module(cfg)
+            # bdl module arch (train_configs/tgnet_bdl.py model_parameter)
+            bdl_arch = dict(bdl_arch or dict(planes=(16, 32), stride=(1, 1),
+                                             nsample=(36, 24), blocks=(2, 3),
+                                             block_num=2))
+            bdl_arch.setdefault("cell_attention",
+                                cfg.model_parameter["cell_attention"])
+            self.bdl_module = TGNet(crop_size=self.crop_size, c=6, **bdl_arch)
         self._spatial_sort = bool(cfg.model_parameter["cell_attention"])
 
         key = jax.random.PRNGKey(0)
-        feat = jnp.zeros((1, n_sample, 6), jnp.float32)
-        labels = jnp.zeros((1, n_sample), jnp.int32)
-        init = jax.jit(self.fps_module.init, static_argnames=("train",))
-        fps_vars = init(key, feat, None, train=False, labels=labels)
-        self.fps_vars = load_weights(fps_ckpt, dict(fps_vars))
-        init_b = jax.jit(self.bdl_module.init, static_argnames=("train",))
-        bdl_vars = init_b(key, feat, None, train=False, labels=labels)
-        self.bdl_vars = load_weights(bdl_ckpt, dict(bdl_vars))
+        if inject_modules is None:
+            feat = jnp.zeros((1, n_sample, 6), jnp.float32)
+            labels = jnp.zeros((1, n_sample), jnp.int32)
+            init = jax.jit(self.fps_module.init, static_argnames=("train",))
+            fps_vars = init(key, feat, None, train=False, labels=labels)
+            self.fps_vars = load_weights(fps_ckpt, dict(fps_vars))
+            init_b = jax.jit(self.bdl_module.init, static_argnames=("train",))
+            bdl_vars = init_b(key, feat, None, train=False, labels=labels)
+            self.bdl_vars = load_weights(bdl_ckpt, dict(bdl_vars))
 
         def stage1(module, variables, feats):
-            out = module.apply(variables, feats, None, method=TGNet.stage1)
+            # method resolved on the module's own class: TGNet in production,
+            # the structured FakeTGNet in the whole-pipeline parity test
+            out = module.apply(variables, feats, None,
+                               method=type(module).stage1)
             # every host consumer takes argmax of the semantics (clustering,
             # crop centroids, final labels) — fetching uint8 class ids moves
             # 24 KB through the tunnel instead of the 960 KB logit tensor;
@@ -383,7 +397,8 @@ class TgnInferencePipeline:
             # aggregation also on-device: one [N] int32 fetch.
             crops, crop_mask, crop_idx, _ = make_crops(
                 feats, cents, valid, self.crop_size, sel_bf16=True)
-            out = module.apply(variables, crops, crop_mask, method=TGNet.stage2)
+            out = module.apply(variables, crops, crop_mask,
+                               method=type(module).stage2)
             return _device_votes(out["sem_1"], crop_idx[0], valid[0],
                                  feats.shape[1])
 
@@ -394,7 +409,7 @@ class TgnInferencePipeline:
             # two-dispatch structure the fps model needs (host DBSCAN between
             # stages) is pure overhead here (~2 tunnel round trips saved).
             out1 = self.bdl_module.apply(self.bdl_vars, feats, None,
-                                         method=TGNet.stage1)
+                                         method=type(self.bdl_module).stage1)
             # f16 fetch: moved only feeds the host KMeans instancing
             moved = (feats[0, :, :3] + out1["offset_1"][0]
                      ).astype(jnp.float16)
