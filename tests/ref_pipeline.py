@@ -183,13 +183,41 @@ def build_reference_tgn_pipeline(fps_ckpt: str, bdl_ckpt: str,
 STRUCT_RADIUS = 0.05
 STRUCT_PULL_RADIUS = 0.12
 STRUCT_CONTRACT = 0.9
+# A thin dmin band of foreground points is flung to an isolated ring of radius
+# STRAY_R around its tooth center instead of being pulled in. These ~5-10
+# points per tooth are farther than DBSCAN eps (.03) from every cluster and
+# from each other, so both stacks' DBSCAN labels them NOISE — exercising the
+# 10-NN noise-absorption branch (ops_utils.py:134-142), whose empty-query
+# crash (`tree.query` on a 0-row array at ops_utils.py:135) is otherwise a
+# happy-path precondition the reference imposes on its trained predictors.
+STRUCT_STRAY_BAND = (0.046, 0.05)
+STRUCT_STRAY_R = 0.25
+# Crop-stage (binary) logits are ASYMMETRIC: confident foreground (+80) vs
+# weak background (+4). The vote aggregation SUMS logits over overlapping
+# crops (inference_pipeline_tgn.py:186-194 / our _device_votes) and each tooth
+# is foreground only in its own crop while appearing as background in up to 15
+# neighbors' crops — symmetric one-hot votes would zero out every tooth
+# (bg-votes >= fg-votes for any point in >= 2 crops), which is also why
+# trained reference checkpoints emit near-saturated fg logits. 80 > 4 * 16
+# keeps one fg vote decisive against every possible bg vote.
+STRUCT_FG_LOGIT = 80.0
+STRUCT_BG_LOGIT = 4.0
 
 
 def pick_tooth_centers(vertices: np.ndarray, t: int = 9) -> np.ndarray:
-    """T arch points spread along the x-quantiles of a normalized scan."""
-    order = np.argsort(vertices[:, 0], kind="stable")
-    rows = order[((np.arange(t) + 0.5) / t * len(order)).astype(int)]
-    return vertices[rows, :3].astype(np.float32)
+    """T arch points spread along central-x quantiles of a normalized scan,
+    restricted to a central y band. INTERIOR placement matters: the crop stage
+    gathers each centroid's 3072-NN ball and centers it by its MEAN
+    (ops_utils.py:164-169); a tooth near the scan edge gets a clipped,
+    asymmetric ball whose mean sits ~0.2 away from the tooth, which breaks the
+    structured stage-2 predictor's |centered xyz| < radius foreground rule."""
+    v = vertices
+    yc = np.median(v[:, 1])
+    band = v[np.abs(v[:, 1] - yc) < 0.15]
+    order = np.argsort(band[:, 0], kind="stable")
+    q = (np.arange(t) + 0.5) / t * 0.7 + 0.15   # central 70% of the x range
+    rows = order[(q * len(order)).astype(int)]
+    return band[rows, :3].astype(np.float32)
 
 
 def make_structured_leaf_models(centers: np.ndarray):
@@ -216,6 +244,11 @@ def make_structured_leaf_models(centers: np.ndarray):
             pull = (dmin < STRUCT_PULL_RADIUS)[..., None]
             off = torch.where(pull, STRUCT_CONTRACT * (c_t[t] - xyz),
                               torch.zeros_like(xyz))
+            stray = ((dmin > STRUCT_STRAY_BAND[0])
+                     & (dmin < STRUCT_STRAY_BAND[1]))[..., None]
+            off = torch.where(
+                stray, (xyz - c_t[t]) * (STRUCT_STRAY_R / dmin - 1.0)[..., None],
+                off)
             mask = torch.nn.functional.one_hot(fg.long(), 2).float() * 8.0
             feats = torch.zeros(b, 32, n)
             return (sem.permute(0, 2, 1), off.permute(0, 2, 1),
@@ -227,7 +260,8 @@ def make_structured_leaf_models(centers: np.ndarray):
             b, _, n = x.shape
             xyz = x[:, :3, :].permute(0, 2, 1).float()
             fg = xyz.norm(dim=-1) < STRUCT_RADIUS
-            sem = torch.nn.functional.one_hot(fg.long(), 2).float() * 8.0
+            sem = (torch.nn.functional.one_hot(fg.long(), 2).float()
+                   * torch.tensor([STRUCT_BG_LOGIT, STRUCT_FG_LOGIT]))
             off = torch.zeros_like(xyz)
             return (sem.permute(0, 2, 1), off.permute(0, 2, 1), sem.clone()
                     .permute(0, 2, 1), torch.zeros(b, 32, n))

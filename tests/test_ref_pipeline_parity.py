@@ -46,7 +46,8 @@ class FakeTGNet:
         import jax.numpy as jnp
 
         from ref_pipeline import (STRUCT_CONTRACT, STRUCT_PULL_RADIUS,
-                                  STRUCT_RADIUS)
+                                  STRUCT_RADIUS, STRUCT_STRAY_BAND,
+                                  STRUCT_STRAY_R)
 
         xyz = feats[..., :3]                                 # [B, N, 3]
         d = jnp.linalg.norm(xyz[..., None, :] - self._c, axis=-1)
@@ -59,17 +60,26 @@ class FakeTGNet:
         sem = jax.nn.one_hot(cls, 10) * 8.0
         pull = (dmin < STRUCT_PULL_RADIUS)[..., None]
         off = jnp.where(pull, STRUCT_CONTRACT * (self._c[t] - xyz), 0.0)
+        # stray band -> DBSCAN noise points (see ref_pipeline.py constants)
+        stray = ((dmin > STRUCT_STRAY_BAND[0])
+                 & (dmin < STRUCT_STRAY_BAND[1]))[..., None]
+        off = jnp.where(
+            stray, (xyz - self._c[t]) * (STRUCT_STRAY_R / dmin - 1.0)[..., None],
+            off)
         return {"sem_1": sem, "offset_1": off}
 
     def stage2(self, crop_feat, crop_mask=None):
         import jax
         import jax.numpy as jnp
 
-        from ref_pipeline import STRUCT_RADIUS
+        from ref_pipeline import (STRUCT_BG_LOGIT, STRUCT_FG_LOGIT,
+                                  STRUCT_RADIUS)
 
         xyz = crop_feat[..., :3]                             # centered crops
         fg = jnp.linalg.norm(xyz, axis=-1) < STRUCT_RADIUS
-        return {"sem_1": jax.nn.one_hot(fg.astype(jnp.int32), 2) * 8.0}
+        sem = (jax.nn.one_hot(fg.astype(jnp.int32), 2)
+               * jnp.asarray([STRUCT_BG_LOGIT, STRUCT_FG_LOGIT]))
+        return {"sem_1": sem}
 
 
 @pytest.mark.slow
