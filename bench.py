@@ -111,6 +111,7 @@ def main():
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_e2e / BASELINE_SCANS_PER_SEC, 3),
         "device_path_scans_per_sec": round(scans_dev, 3),
+        "scans_per_sec_by_workers": res.get("scans_per_sec_by_workers"),
     }))
 
 

@@ -507,6 +507,57 @@ class TestBdlNn1Device:
         agree = (idx[:n0] == nn).mean()
         assert agree > 0.999
 
+    def test_window_variant_skewed_boundary(self, rng, tmp_path):
+        """Round-4 advisor: a boundary cloud CONCENTRATED in one axis region
+        (vs the org cloud's full span) must still get on-target windows —
+        value-aligned starts (r5) center each query slab's window on the
+        boundary rows nearest in axis value, where the old boundary-QUANTILE
+        alignment pointed e.g. a query at the region's edge at a window
+        covering the region's far side. Contract: among the transfer-relevant
+        vertices (those whose boundary 1-NN actually beats the sampled-side
+        spacing) the windowed d2 must be exact."""
+        import jax.numpy as jnp
+        from scipy.spatial import cKDTree
+        from synthetic import write_synthetic_obj
+
+        from toothgroupnetwork_tpu.data.mesh_io import parse_obj
+        from toothgroupnetwork_tpu.data.scan_prep import \
+            normalize_scan_vertices
+        from toothgroupnetwork_tpu.pipelines.tgn import _bdl_nn1_win_fn
+
+        p = str(tmp_path / "s_lower.obj")
+        write_synthetic_obj(p, n_side=100, seed=1)
+        v, _ = parse_obj(p)
+        v = normalize_scan_vertices(v).astype(np.float32)
+        n0 = v.shape[0]
+        n_pad = -(-n0 // 8192) * 8192
+        pad = np.zeros((n_pad, 6), np.float32)
+        pad[:n0, :3] = v
+        # skew: ALL boundary points in one corner band of the max-var axis
+        ax = int(np.argmax(v.var(axis=0)))
+        lo = np.quantile(v[:, ax], 0.05)
+        hi = np.quantile(v[:, ax], 0.25)
+        band = (v[:, ax] > lo) & (v[:, ax] < hi)
+        bd_rows = np.flatnonzero(band)
+        num_bdl, n_bd = 2000, min(len(bd_rows), 1800)
+        sel = np.zeros(max(n0, num_bdl), np.int32)
+        sel[:n_bd] = bd_rows[:n_bd]
+        sel_dev = jnp.asarray(sel[:num_bdl])
+
+        idx, d2 = jax.device_get(_bdl_nn1_win_fn(
+            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl))
+        bdl_xyz = v[bd_rows[:n_bd]]
+        dist, nn = cKDTree(bdl_xyz).query(v, k=1, workers=-1)
+        assert (idx[:n0] < n_bd).all()
+        # transfer-relevant queries: within a generous sampled-spacing bound
+        near = dist < 0.1
+        assert near.sum() > 500
+        np.testing.assert_allclose(d2[:n0][near], dist[near] ** 2,
+                                   rtol=1e-4, atol=1e-9)
+        assert (idx[:n0][near] == nn[near]).mean() > 0.999
+        # far queries may be window-bounded, but never UNDER-estimate d2
+        assert (d2[:n0] >= dist ** 2 - 1e-6).all()
+
     def test_sel_variant_matches_row_upload(self, rng):
         """_bdl_nn1_sel_fn (in-program gather of the boundary cloud from the
         resident padded org upload via the bdl_sel index) must bit-match the

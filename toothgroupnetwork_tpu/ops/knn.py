@@ -512,8 +512,13 @@ def knn_self_windowed(points, k: int, *, n_slabs: int = 16,
     out_i = out_i.at[brow, order].set(gidx)
     out_d = out_d.at[brow, order].set(d2o.reshape(b, n, keff))
     if keff < k:
-        out_i = jnp.concatenate([out_i] + [out_i[..., -1:]] * (k - keff), -1)
-        out_d = jnp.concatenate([out_d] + [out_d[..., -1:]] * (k - keff), -1)
+        # unreachable under knn_self's gate (n >= 2048 => win_w >= 640 > k),
+        # but direct callers get the same CUDA unfilled-heap tail contract as
+        # knn_points: index 0 at dist2 = 1e10 (knnquery_cuda_kernel.cu:87-91)
+        out_i = jnp.concatenate(
+            [out_i] + [jnp.zeros_like(out_i[..., :1])] * (k - keff), -1)
+        out_d = jnp.concatenate(
+            [out_d] + [jnp.full_like(out_d[..., :1], 1e10)] * (k - keff), -1)
     dist = jnp.where(out_d > 0, jnp.sqrt(jnp.where(out_d > 0, out_d, 1.0)),
                      0.0)
     return out_i, dist
@@ -522,8 +527,14 @@ def knn_self_windowed(points, k: int, *, n_slabs: int = 16,
 def knn_self(points, k, p_mask=None, *, train: bool = True,
              mask_per_cloud: bool = False, **kw):
     """Self-kNN dispatcher for the backbone's per-stage neighborhoods:
-    windowed at inference on large unmasked TPU clouds (see
-    :func:`knn_self_windowed`), the flat exact/approx path otherwise.
+    flat approx path by default; ``TGN_TPU_STAGE_KNN=window`` opts inference
+    on large unmasked TPU clouds into :func:`knn_self_windowed`.
+    Default flipped window->flat in r5: the DCE-proof chained A/B
+    (tools/profile_r5.py, 2026-08-19) measured the window path SLOWER at both
+    backbone shapes — 16x3072 k=36: 33.1 vs 17.5 ms flat (the argsort +
+    scatter-back overhead dwarfs the saved selection traffic at crop sizes),
+    1x24k k=36: 20.6 vs 17.7 — and it was the main source of BENCH_r04's
+    bdl:fused +41 ms / fps:stage2 +18 ms phase regressions.
     ``mask_per_cloud``: the caller guarantees ``p_mask`` is constant within
     each batch cloud (whole-crop validity) — the windowed path is then valid
     under a mask too (dead clouds yield garbage neighborhoods that the
@@ -532,8 +543,12 @@ def knn_self(points, k, p_mask=None, *, train: bool = True,
     if (not train and (p_mask is None or mask_per_cloud)
             and _use_approx_topk()
             and n >= 2048 and n % 16 == 0
-            and os.environ.get("TGN_TPU_STAGE_KNN", "window") == "window"):
-        return knn_self_windowed(points, k, sel_bf16=not train)
+            and os.environ.get("TGN_TPU_STAGE_KNN", "flat") == "window"):
+        # same TGN_TPU_KNN_SEL=f32|bf16 force-override contract as knn_points
+        # (round-4 advisor: f32-forcing must cover the stage self-kNN too)
+        env_sel = os.environ.get("TGN_TPU_KNN_SEL", "auto")
+        sb = (not train) if env_sel == "auto" else env_sel == "bf16"
+        return knn_self_windowed(points, k, sel_bf16=sb)
     return knn_points(points, points, k, p_mask, p_mask,
                       include_self=True, need_dist=False,
                       sel_bf16=not train, **kw)

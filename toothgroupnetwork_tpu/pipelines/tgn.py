@@ -144,12 +144,15 @@ def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
 
     Exactness: the re-scored d2 is exact f32 for the returned candidate;
     candidate membership carries the bf16-selection near-tie caveat PLUS the
-    window bound. The window is quantile-aligned on the BOUNDARY cloud — for
-    the vertices where the boundary half can actually win the final transfer
+    window bound. Windows are VALUE-aligned (r5): each query slab's window is
+    centered on the boundary rows nearest in axis value to the slab's median
+    query, so a boundary cloud concentrated in one axis region (the round-4
+    advisor's skew scenario) still gets on-target windows. For the vertices
+    where the boundary half can actually win the final transfer
     (d_b < d_sampled ~ the sampled-cloud spacing), the true winner is within
-    that spacing of the query and thus inside a +-2-slab window except under
+    that spacing of the query and thus inside the centered window except under
     implausible axis-density pathologies (contract-tested vs the KD-tree on
-    synthetic scans, tests/test_tgn_pipeline.py)."""
+    band-shaped AND skewed boundaries, tests/test_tgn_pipeline.py)."""
     global _bdl_nn1_win_jit
     if _bdl_nn1_win_jit is None:
         from functools import partial
@@ -173,14 +176,7 @@ def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
             rows_s = jnp.take(brows, border, axis=0)
             live_s = jnp.take(live, border)
             rows_s = jnp.where(live_s[:, None], rows_s, 1e6)
-            # window starts are LIVE-row quantiles (dynamic: n_bd varies per
-            # scan) — laying them out over the full num_bdl slots would point
-            # edge slabs at dead sentinel rows whenever n_bd < num_bdl
-            starts = jnp.stack([jnp.clip((s - 2) * n_bd // ns, 0,
-                                         jnp.maximum(n_bd - win_w, 0))
-                                for s in range(ns)]).astype(jnp.int32)
-            win = jnp.stack([jax.lax.dynamic_slice(
-                rows_s, (starts[s], 0), (win_w, 3)) for s in range(ns)])
+            bval_s = jnp.take(bval, border)                  # ascending, inf tail
 
             i = jnp.arange(npad, dtype=jnp.int32)
             if qorder is None:
@@ -191,6 +187,24 @@ def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
             slab = i // chunk_len
             pos = i - slab * chunk_len
             qrows = jnp.take(org, qorder, axis=0)
+
+            # VALUE-aligned window starts (round-4 advisor: quantile-aligned
+            # windows lose when the boundary cloud's axis distribution is
+            # skewed vs the org cloud — e.g. boundary concentrated in one
+            # region pointed high-value query slabs at low-value windows).
+            # Each query slab's window is centered, by searchsorted, on the
+            # live boundary rows nearest IN AXIS VALUE to the slab's median
+            # query; n_bd stays dynamic (dead rows sort to the inf tail).
+            qvals = jnp.take(qrows, ax, axis=1)              # sorted (live asc)
+            mid_pos = jnp.minimum(
+                jnp.arange(ns, dtype=jnp.int32) * chunk_len + chunk_len // 2,
+                jnp.maximum(n_valid - 1, 0))
+            qmid = jnp.take(qvals, mid_pos)                  # [ns]
+            starts = jnp.clip(
+                jnp.searchsorted(bval_s, qmid).astype(jnp.int32) - win_w // 2,
+                0, jnp.maximum(n_bd - win_w, 0))
+            win = jnp.stack([jax.lax.dynamic_slice(
+                rows_s, (starts[s], 0), (win_w, 3)) for s in range(ns)])
             q = jnp.zeros((ns, chunk_pad, 3), jnp.float32
                           ).at[slab, pos].set(qrows, mode="drop")
             qgidx = jnp.full((ns, chunk_pad), npad, jnp.int32
@@ -447,6 +461,43 @@ class TgnInferencePipeline:
         timings[name] += now - t0
         return now
 
+    def variants(self) -> dict:
+        """Which kernel/algorithm variant each jitted program will actually
+        take under the CURRENT env + backend — the bench harness logs this so
+        isolated kernel A/Bs can be reconciled with the driver-captured e2e
+        number (round-4 verdict weak item 1: ~100 ms of claimed chained-A/B
+        cuts were invisible in BENCH_r04, and nothing recorded whether the new
+        paths were even on-path). Derived from the same gate functions the
+        traces call, at the flagship shapes."""
+        import os as _os
+
+        from ..models.point_transformer.backbone import _attention_mode
+        from ..ops.knn import _use_approx_topk
+
+        n = self.n_sample
+        cs = self.crop_size
+        approx = _use_approx_topk()
+        win_stage = (_os.environ.get("TGN_TPU_STAGE_KNN", "flat")
+                     == "window") and approx
+        return {
+            # per-shape eval attention dispatch (b, n, k, c)
+            "attn_stage0_24k": _attention_mode(False, 1, n, 36, 32),
+            "attn_crops_fps_s0": _attention_mode(False, K_MAX, cs, 36, 32),
+            "attn_crops_bdl_s0": _attention_mode(False, K_MAX, cs, 36, 16),
+            "attn_crops_bdl_s1": _attention_mode(False, K_MAX, cs, 24, 32),
+            "stage_self_knn_24k": "window" if (win_stage and n % 16 == 0)
+                                  else ("approx" if approx else "exact"),
+            "stage_self_knn_crops": "window" if (win_stage and cs % 16 == 0)
+                                    else ("approx" if approx else "exact"),
+            "purity": _os.environ.get("TGN_TPU_PURITY", "window"),
+            "bdl_nn1": _os.environ.get("TGN_TPU_BDLNN1", "window"),
+            "knn_sel": _os.environ.get("TGN_TPU_KNN_SEL", "auto"),
+            "fps_kernel": _os.environ.get("TGN_TPU_KERNELS", "auto"),
+            "fps_fold": _os.environ.get("TGN_TPU_FPS_FOLD", "1"),
+            "upload": _os.environ.get("TGN_TPU_UPLOAD", "f16"),
+            "knn": _os.environ.get("TGN_TPU_KNN", "auto"),
+        }
+
     # ------------------------------------------------------------------
     def _run_fps_stage(self, feats_dev, sample_idx, crop_centroids_from,
                        timings: dict):
@@ -463,15 +514,21 @@ class TgnInferencePipeline:
         t0 = time.perf_counter()
         feats = feats_dev[None]
         cls_1, moved = self._fps_stage1(feats)
+        # sub-split keys ("phase/part") let the driver-captured wall phases be
+        # reconciled against chained device numbers: dispatch ≈ host tracing +
+        # enqueue RTT, fetch = sync on (queued device work + fetch bytes)
+        td = self._t(timings, "fps:stage1_device/dispatch", t0)
         # ONE device_get: each separate np.asarray pays a ~25 ms tunnel RTT
         if sample_idx is not None:
             idx_dev, finalize, src_feats = sample_idx
             idx_np, cls_1, moved = jax.device_get((idx_dev, cls_1[0],
                                                    moved[0]))
+            td = self._t(timings, "fps:stage1_device/fetch", td)
             feats_np = src_feats[finalize(np.asarray(idx_np))]
         else:
             feats_np, cls_1, moved = jax.device_get(
                 (feats_dev, cls_1[0], moved[0]))
+            td = self._t(timings, "fps:stage1_device/fetch", td)
             feats_np = np.asarray(feats_np)
         cls_1 = cls_1.astype(np.int32)
         moved = np.asarray(moved, np.float32)  # f16 tunnel fetch -> host f32
@@ -480,8 +537,10 @@ class TgnInferencePipeline:
         centroids = crop_centroids_from(cls_1, moved, xyz)
         t0 = self._t(timings, "fps:host_centroids", t0)
         cents, valid, _ = _pad_centroids(centroids)
-        whole_mask = np.asarray(
-            jax.device_get(self._fps_stage2(feats, cents, valid)))
+        fut2 = self._fps_stage2(feats, cents, valid)
+        td = self._t(timings, "fps:stage2_device/dispatch", t0)
+        whole_mask = np.asarray(jax.device_get(fut2))
+        self._t(timings, "fps:stage2_device/fetch", td)
         self._t(timings, "fps:stage2_device", t0)
         return feats_np, cls_1, moved, whole_mask
 
@@ -602,7 +661,8 @@ class TgnInferencePipeline:
                 num_bdl_points=self.boundary_info["num_of_bdl_points"],
                 num_all_points=self.boundary_info["num_of_all_points"],
                 spatial_sort=self._spatial_sort, return_nn1=True,
-                device_ctx=device_ctx, sampled_xyz_dev=feats_dev)
+                device_ctx=device_ctx, sampled_xyz_dev=feats_dev,
+                timings=timings)
         pseudo_in = pseudo_labels.astype(np.int64) - 1  # -1 = bg
         # boundary half of the final 1-NN transfer: dispatch NOW (device MXU,
         # reusing the purity query's resident org upload) so it overlaps the
@@ -618,6 +678,7 @@ class TgnInferencePipeline:
                 is device_ctx["feats_pad_dev"]):
             sel_dev = jnp.asarray(device_ctx["bdl_sel"])
         num_bdl = self.boundary_info["num_of_bdl_points"]
+        t_nn1 = time.perf_counter()
         if n_bd and "org_pad_dev" in device_ctx:
             import os as _os2
 
@@ -646,6 +707,7 @@ class TgnInferencePipeline:
                 bdl_pad[:n_bd] = bdl_sampled[:n_bd, :3]
                 nn1_b_fut = _bdl_nn1_fn(device_ctx["org_pad_dev"],
                                         jnp.asarray(bdl_pad))
+        self._t(timings, "host_boundary_resample/bdlnn1_dispatch", t_nn1)
         t0 = self._t(timings, "host_boundary_resample", t0)
 
         # bdl crop centroids come from the pseudo labels (host-known BEFORE
@@ -655,11 +717,14 @@ class TgnInferencePipeline:
                      for i in np.unique(pseudo_in) if i != -1]
         cents_b, valid_b, _ = _pad_centroids(bdl_cents)
         if sel_dev is not None:
-            moved_b, whole_mask_b = jax.device_get(self._bdl_fused_sel(
-                device_ctx["org_pad_dev"], sel_dev, cents_b, valid_b))
+            fut_b = self._bdl_fused_sel(
+                device_ctx["org_pad_dev"], sel_dev, cents_b, valid_b)
         else:
-            moved_b, whole_mask_b = jax.device_get(self._bdl_fused(
-                jnp.asarray(bdl_sampled[None]), cents_b, valid_b))
+            fut_b = self._bdl_fused(
+                jnp.asarray(bdl_sampled[None]), cents_b, valid_b)
+        td = self._t(timings, "bdl:fused_device/dispatch", t0)
+        moved_b, whole_mask_b = jax.device_get(fut_b)
+        self._t(timings, "bdl:fused_device/fetch", td)
         moved_b = np.asarray(moved_b, np.float32)
         whole_mask_b = np.asarray(whole_mask_b)
         t0 = self._t(timings, "bdl:fused_device", t0)
@@ -713,7 +778,9 @@ class TgnInferencePipeline:
             else:
                 res = nob_fn(device_ctx["nn1_dev"], jnp.asarray(ins_pad),
                              jnp.asarray(sem_pad))
+            td = self._t(timings, "host_1nn_transfer/dispatch", t0)
             result_ins, result_sem = jax.device_get(res)
+            self._t(timings, "host_1nn_transfer/fetch", td)
             result_ins = result_ins[:n_vertices].astype(np.int64)
             result_sem = result_sem[:n_vertices].astype(np.int64)
         else:

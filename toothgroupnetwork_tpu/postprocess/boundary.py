@@ -267,7 +267,8 @@ def _purity_window_fn(org_pad, sampled_xyz, labels, k: int,
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                      point_labels: np.ndarray, k: int, bdl_ratio: float,
-                     device_ctx: dict | None = None, sampled_dev=None):
+                     device_ctx: dict | None = None, sampled_dev=None,
+                     timings: dict | None = None):
     """Returns (boundary mask [N] bool, 1-NN label [N], 1-NN index [N] or
     None, 1-NN squared distance [N] or None). Device path on TPU (bucketed
     query size, one compiled executable per size bucket); host KD-tree
@@ -310,6 +311,9 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                 np.ascontiguousarray(sampled_xyz, np.float32))
         import os
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         m = sampled_xyz.shape[0]
         use_window = (os.environ.get("TGN_TPU_PURITY", "window") == "window"
                       and m >= 4096 and n_pad % _WIN_SLABS == 0)
@@ -331,6 +335,9 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                 pad_dev, sampled_dev,
                 jnp.asarray(point_labels.astype(np.uint8)), k, bdl_ratio,
                 n_valid=n0)
+        t1 = _time.perf_counter()
+        if timings is not None:
+            timings["host_boundary_resample/purity_dispatch"] += t1 - t0
         if device_ctx is not None:
             device_ctx["org_pad_dev"] = pad_dev
             device_ctx["bd_mask_dev"] = bd_mask  # device handle survives the fetch
@@ -341,6 +348,9 @@ def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
                 (bd_mask, nn1_lab, fps_idx))
         else:
             bd_mask, nn1_lab = jax.device_get((bd_mask, nn1_lab))
+        if timings is not None:
+            timings["host_boundary_resample/purity_fetch"] += (
+                _time.perf_counter() - t1)
         return (bd_mask[:n0], nn1_lab[:n0].astype(point_labels.dtype),
                 None, None)
 
@@ -401,6 +411,7 @@ def boundary_sampled_feats(
     return_nn1: bool = False,
     device_ctx: dict | None = None,
     sampled_xyz_dev=None,
+    timings: dict | None = None,
 ):
     """Returns (feats [num_all_points, 6], pseudo_labels [num_all_points],
     n_boundary) — boundary points first, matching the reference's concat order
@@ -422,7 +433,8 @@ def boundary_sampled_feats(
     k = min(40, sampled_feats.shape[0])
     bd_mask, ps_labels, nn1_idx, nn1_d2 = _boundary_purity(
         org_feats[:, :3].astype(np.float32), sampled_feats[:, :3],
-        point_labels, k, bdl_ratio, device_ctx, sampled_dev=sampled_xyz_dev)
+        point_labels, k, bdl_ratio, device_ctx, sampled_dev=sampled_xyz_dev,
+        timings=timings)
 
     bd_global = np.flatnonzero(bd_mask)
     bd_feats = org_feats[bd_mask]
