@@ -174,7 +174,6 @@ class PointTransformerLayer(nn.Module):
                 "bn0_scale": a_w0, "bn0_shift": b_w0, "w0": w_w0, "c0": c_w0,
                 "bn1_scale": a_w1, "bn1_shift": b_w1, "w1": w_w1, "c1": c_w1,
             }
-            qf = q.reshape(b * n, mid).astype(f32)
             w_k, b_k = dense_wb(d_k, cin)
             w_v, b_v = dense_wb(d_v, cin)
             params.update(wk=w_k, bk=b_k, wv=w_v, bv=b_v)
@@ -182,11 +181,16 @@ class PointTransformerLayer(nn.Module):
                 # k/v projected IN-KERNEL from the raw gather (r4): the
                 # pre-projected variant materialized x_g + k_g + v_g in HBM
                 # and the layer is traffic-bound — 32 ms/layer at
-                # B16/3072/K36/C32 vs a ~2-4 ms floor
+                # B16/3072/K36/C32 vs a ~2-4 ms floor. r5: q fed in model
+                # dtype + output stored in model dtype (in-kernel compute
+                # stays f32) — kills the two f32<->bf16 hop passes around the
+                # kernel on the bf16 serving path
                 agg = fused_vector_attention_packed_x(
-                    qf, x_g, p_r_flat, params, k=kk)
-            else:
-                agg = fused_vector_attention(qf, x_g, p_r_flat, params, k=kk)
+                    q.reshape(b * n, mid), x_g, p_r_flat, params, k=kk,
+                    out_dtype=self.dtype)
+                return agg.reshape(b, n, out)
+            qf = q.reshape(b * n, mid).astype(f32)
+            agg = fused_vector_attention(qf, x_g, p_r_flat, params, k=kk)
             return agg.reshape(b, n, out).astype(self.dtype)
 
         k_g = d_k(x_g)                                        # [BNK, mid]

@@ -201,7 +201,8 @@ def _packed_body(q_ref, k2, v2, pr2_ref, a0_ref, b0_ref, a1_ref,
     wf = jnp.dot(wn, exp_ref[:], preferred_element_type=f32)      # [TR, KC]
 
     prod = (v2 + pe2) * wf
-    out_ref[:] = jnp.dot(prod, red_ref[:], preferred_element_type=f32)
+    out_ref[:] = jnp.dot(prod, red_ref[:], preferred_element_type=f32
+                         ).astype(out_ref.dtype)
 
 
 def _packed_kernel(q_ref, k2_ref, v2_ref, pr2_ref, *rest, kk: int):
@@ -310,14 +311,19 @@ def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
     return out[:bn]
 
 
-@partial(jax.jit, static_argnames=("k", "tile_rows"))
+@partial(jax.jit, static_argnames=("k", "tile_rows", "out_dtype"))
 def fused_vector_attention_packed_x(q, x_g, p_r, params, *, k: int,
-                                    tile_rows: int | None = None):
-    """Lane-packed fused attention from the RAW gathered features: q [BN, C];
-    x_g [BN*K, Cin] (any float dtype — bf16 halves the dominant HBM
-    read/write); p_r [BN*K, 3]; params must include the k/v projections
-    (``wk``/``bk``/``wv``/``bv``, :func:`fold_attention_params` provides
-    them). Returns [BN, C] f32.
+                                    tile_rows: int | None = None,
+                                    out_dtype=None):
+    """Lane-packed fused attention from the RAW gathered features: q [BN, C]
+    (any float dtype — cast to f32 in-kernel); x_g [BN*K, Cin] (any float
+    dtype — bf16 halves the dominant HBM read/write); p_r [BN*K, 3]; params
+    must include the k/v projections (``wk``/``bk``/``wv``/``bv``,
+    :func:`fold_attention_params` provides them). Returns [BN, C] in
+    ``out_dtype`` (default f32; in-kernel compute is f32 either way — a bf16
+    out_dtype only changes the final store, letting a bf16-model caller skip
+    the f32->bf16 dtype-hop pass that made the packed BLOCK regress at B1/24k
+    in the r4 recheck, 15.2 vs 12.9 ms).
 
     vs :func:`fused_vector_attention_packed`: the k/v projections run
     IN-KERNEL as ``kron(I_K, W)`` block-diagonal matmuls on the packed
@@ -365,7 +371,7 @@ def fused_vector_attention_packed_x(q, x_g, p_r, params, *, k: int,
             pl.BlockSpec((tr, k3), row_spec, memory_space=pltpu.VMEM),
         ] + [full] * 18,
         out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, c), out_dtype or jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(q, x2, pr2, wkk, bk2, wvk, bv2, *pats)
     return out[:bn]
