@@ -584,6 +584,49 @@ class TestCellSelectKernel:
             want.astype(np.float32))
 
 
+class TestOnehotGatherKernel:
+    """ops/pallas/gather_kernel.py (interpret mode off-TPU): the two-level
+    one-hot MXU gather must be bit-equal to index_points for bf16 sources.
+    Off-path machinery (TGN_TPU_GATHER=mxu opt-in; the r5 A/B measured it
+    0.56x vs XLA at its most favorable shape) — contract kept pinned so the
+    opt-in stays trustworthy."""
+
+    def test_bit_exact_bf16(self, rng):
+        from toothgroupnetwork_tpu.ops.pallas.gather_kernel import (
+            onehot_gather, onehot_gather_packed)
+
+        b, n, c, m, k = 2, 200, 32, 57, 9   # n not a multiple of 128
+        x = jnp.asarray(rng.standard_normal((b, n, c)),
+                        dtype=jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, n, (b, m, k)), dtype=jnp.int32)
+        got = onehot_gather(x, idx)
+        want = index_points(x, idx)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float32),
+            np.asarray(want, dtype=np.float32))
+        packed = onehot_gather_packed(x, idx)
+        np.testing.assert_array_equal(
+            np.asarray(packed, dtype=np.float32),
+            np.asarray(want, dtype=np.float32).reshape(b, m, k * c))
+
+    def test_dispatcher_optin(self, rng, monkeypatch):
+        from toothgroupnetwork_tpu.ops.gather import gather_neighbors
+
+        x = jnp.asarray(rng.standard_normal((1, 160, 16)),
+                        dtype=jnp.bfloat16)
+        idx = jnp.asarray(rng.integers(0, 160, (1, 40, 5)), dtype=jnp.int32)
+        want = np.asarray(index_points(x, idx), dtype=np.float32)
+        monkeypatch.setenv("TGN_TPU_GATHER", "mxu")
+        got = gather_neighbors(x, idx, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float32), want)
+        monkeypatch.setenv("TGN_TPU_GATHER", "auto")
+        got2 = gather_neighbors(x, idx, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(got2, dtype=np.float32), want)
+
+
 class TestWindowedSelfKNN:
     """ops/knn.py:knn_self_windowed — the r4 inference stage-kNN (axis
     windows over equal-count slabs). Contracts: self-first with distance 0,

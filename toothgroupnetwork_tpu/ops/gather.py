@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 import jax.numpy as jnp
 
 
@@ -51,23 +50,19 @@ def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray, *,
     XLA's row gather is the serving backbone's floor (~60-90 GB/s effective,
     8-sublane tile read amplification); the Pallas kernel
     (ops/pallas/gather_kernel.py) reformulates it as full-lane-width MXU
-    matmuls and is BIT-EXACT for bf16 sources. Gate: eval + TPU + bf16 +
-    per-cloud idx (the kernel indexes within each batch cloud) + enough rows
-    to amortize + a small source (N <= 4096, i.e. the batched crop stages:
-    the kernel's FLOP cost is rows*N*C — at N=24000 the MXU floor is ~6.7 ms
-    vs ~13 ms for XLA's gather, marginal, and the NB=188 unrolled
-    block-select bloats compile time). ``TGN_TPU_GATHER=mxu|xla``
-    force-overrides.
+    matmuls and is BIT-EXACT for bf16 sources.
+
+    MEASURED NEGATIVE (r5, tools/profile_gather_mxu.py, TPU v5e, chained):
+    at the most favorable shape — B16 N3072 C32 M3072 K36, the crop
+    attention gather — the kernel is 33.1 ms vs XLA's 18.6 (0.56x): the
+    per-neighbor VPU block-select (NB=24 unrolled compares+selects over the
+    [TM, NB*C] dot result) costs more than the strided reads it replaces,
+    and the MXU dots run far below peak at TM<=256 rows per tile. ``auto``
+    therefore NEVER picks the kernel; it stays available as explicit opt-in
+    (``TGN_TPU_GATHER=mxu``) for wider-C regimes where the dot amortizes.
     """
-    b, n, _ = points.shape
-    rows = idx.size
     mode = os.environ.get("TGN_TPU_GATHER", "auto")
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_mxu = (mode == "mxu" or
-               (mode == "auto" and not train and on_tpu
-                and points.dtype == jnp.bfloat16
-                and rows >= 10 ** 5 and n <= 4096))
-    if use_mxu:
+    if mode == "mxu":
         from .pallas.gather_kernel import onehot_gather
         return onehot_gather(points, idx)
     return index_points(points, idx)
