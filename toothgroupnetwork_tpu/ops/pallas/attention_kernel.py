@@ -102,10 +102,13 @@ def fused_vector_attention(q, x_g, p_r, params, *, k: int,
     cs = params["w1"].shape[-1]
     if tile_rows is None:
         # Mosaic's scoped-vmem stack is 16 MB and every [TRK, <=128]-lane f32
-        # temporary pads its rows to 512 B: ~4-5 live temps => ~2 KB per
-        # neighbor row (measured: 18.04 MB at tr=256, k=36, c=32). Keep
-        # tr*k*ceil(c/128)*2KB comfortably under the limit.
-        tile_rows = max(8, min(128, (128 * 128) // max(c, 128)))
+        # temporary pads its rows to 512 B. Since the in-kernel k/v projection
+        # (this entry takes the RAW gather x_g) the live-temp footprint is
+        # ~7.1 KB per neighbor-row per 128-lane group (measured: 32.67 MB at
+        # tr=128, k=36, c=32 — a VMEM stack OOM). Budget 12 MB of the 16.
+        lane_groups = -(-max(c, cs) // 128)
+        tile_rows = max(8, min(128,
+                               (12 << 20) // (7200 * k * lane_groups)))
         tile_rows -= tile_rows % 8
     tr = min(tile_rows, -(-bn // 8) * 8)   # keep sublane-aligned row tiles
     n_tiles = -(-bn // tr)
