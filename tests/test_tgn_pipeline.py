@@ -142,12 +142,15 @@ class TestBoundaryResample:
         np.testing.assert_array_equal(np.asarray(spec_hs)[:m],
                                       np.where(~bd_np)[0][loc])
 
-    def test_window_purity_matches_kdtree(self, rng, tmp_path):
+    @pytest.mark.parametrize("win_frac", [3, 5])
+    def test_window_purity_matches_kdtree(self, rng, tmp_path, win_frac):
         """_purity_window_fn (the r4 TPU default at production sizes) must
         agree with the host KD-tree on a synthetic SURFACE scan with the
         windows proper subsets of the sampled cloud: exact nn1 index/label/d2
         (window-true 1-NN), boundary mask agreement, and a fill-FPS index
-        plane of unique valid non-boundary rows."""
+        plane of unique valid non-boundary rows. Parametrized over the
+        TGN_TPU_WIN_FRAC settings (5 = default ±2-slab margin; 3 = the
+        narrow ±1-slab margin)."""
         import jax.numpy as jnp
         from scipy.spatial import cKDTree
         from synthetic import write_synthetic_obj
@@ -176,7 +179,7 @@ class TestBoundaryResample:
         k, r = 40, 0.7
         bd, nn1lab, nn1, nn1d2, fps = _purity_window_fn(
             jnp.asarray(pad), jnp.asarray(sampled), jnp.asarray(labels),
-            k, r, n_valid=n0)
+            k, r, n_valid=n0, win_frac=win_frac)
         dist, nn = cKDTree(sampled).query(v, k=k, workers=-1)
         ratio_h = first_label_ratio(labels[nn])
 
@@ -467,10 +470,13 @@ class TestBdlNn1Device:
         np.testing.assert_array_equal(idx6, idx)
         np.testing.assert_array_equal(d26, d2)
 
-    def test_window_variant_matches_kdtree(self, rng, tmp_path):
+    @pytest.mark.parametrize("win_frac", [3, 5])
+    def test_window_variant_matches_kdtree(self, rng, tmp_path, win_frac):
         """_bdl_nn1_win_fn (r4: axis-windowed boundary 1-NN) on a synthetic
         SURFACE scan with a band-shaped boundary must reproduce the KD-tree
-        1-NN up to exact-distance ties (the CPU path has no bf16 selection)."""
+        1-NN up to exact-distance ties (the CPU path has no bf16 selection).
+        Parametrized over the TGN_TPU_WIN_FRAC settings (5 default, 3
+        narrow)."""
         import jax.numpy as jnp
         from scipy.spatial import cKDTree
         from synthetic import write_synthetic_obj
@@ -498,7 +504,8 @@ class TestBdlNn1Device:
                               else np.pad(sel, (0, num_bdl - n0))[:num_bdl])
 
         idx, d2 = jax.device_get(_bdl_nn1_win_fn(
-            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl))
+            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl,
+            win_frac=win_frac))
         bdl_xyz = v[bd_rows[:n_bd]]
         dist, nn = cKDTree(bdl_xyz).query(v, k=1, workers=-1)
         assert (idx[:n0] < n_bd).all()
@@ -507,7 +514,8 @@ class TestBdlNn1Device:
         agree = (idx[:n0] == nn).mean()
         assert agree > 0.999
 
-    def test_window_variant_skewed_boundary(self, rng, tmp_path):
+    @pytest.mark.parametrize("win_frac", [3, 5])
+    def test_window_variant_skewed_boundary(self, rng, tmp_path, win_frac):
         """Round-4 advisor: a boundary cloud CONCENTRATED in one axis region
         (vs the org cloud's full span) must still get on-target windows —
         value-aligned starts (r5) center each query slab's window on the
@@ -545,7 +553,8 @@ class TestBdlNn1Device:
         sel_dev = jnp.asarray(sel[:num_bdl])
 
         idx, d2 = jax.device_get(_bdl_nn1_win_fn(
-            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl))
+            jnp.asarray(pad), sel_dev, n_bd, n0, num_bdl,
+            win_frac=win_frac))
         bdl_xyz = v[bd_rows[:n_bd]]
         dist, nn = cKDTree(bdl_xyz).query(v, k=1, workers=-1)
         assert (idx[:n0] < n_bd).all()

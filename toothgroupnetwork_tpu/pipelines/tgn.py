@@ -135,7 +135,7 @@ def _bdl_nn1_sel_fn(org_pad, sel, n_bd, num_bdl: int):
 
 
 def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
-                    qorder=None, ax=None):
+                    qorder=None, ax=None, win_frac: int | None = None):
     """Axis-windowed variant of :func:`_bdl_nn1_sel_fn` — same contract
     ``(idx [Npad] into the boundary cloud, d2 [Npad])``, with the [Npad, P]
     distance work cut to a 5/16 window (the same slab scheme as
@@ -159,13 +159,13 @@ def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
 
         from ..ops.gather import index_points
 
-        @partial(jax.jit, static_argnames=("num_bdl",))
-        def fn(org_pad, sel, n_bd, n_valid, qorder, ax, num_bdl):
+        @partial(jax.jit, static_argnames=("num_bdl", "win_frac"))
+        def fn(org_pad, sel, n_bd, n_valid, qorder, ax, num_bdl, win_frac):
             org = org_pad[:, :3].astype(jnp.float32)
             npad = org.shape[0]
             ns = 16
             chunk_pad = npad // ns
-            win_w = min(num_bdl, -(-num_bdl * 5 // ns))
+            win_w = min(num_bdl, -(-num_bdl * win_frac // ns))
 
             brows = jnp.take(org, sel[:num_bdl], axis=0)     # [P, 3]
             live = jnp.arange(num_bdl) < n_bd
@@ -256,8 +256,12 @@ def _bdl_nn1_win_fn(org_pad, sel, n_bd, n_valid, num_bdl: int,
         _bdl_nn1_win_jit = fn
     if ax is not None:
         ax = jnp.int32(ax)
+    if win_frac is None:
+        from ..postprocess.boundary import _win_frac
+
+        win_frac = _win_frac()
     return _bdl_nn1_win_jit(org_pad, sel, jnp.int32(n_bd), jnp.int32(n_valid),
-                            qorder, ax, num_bdl=num_bdl)
+                            qorder, ax, num_bdl=num_bdl, win_frac=win_frac)
 
 
 def _bdl_nn1_fn(org_pad, bdl_pad):
@@ -491,6 +495,7 @@ class TgnInferencePipeline:
                                     else ("approx" if approx else "exact"),
             "purity": _os.environ.get("TGN_TPU_PURITY", "window"),
             "bdl_nn1": _os.environ.get("TGN_TPU_BDLNN1", "window"),
+            "win_frac": _os.environ.get("TGN_TPU_WIN_FRAC", "5"),
             "knn_sel": _os.environ.get("TGN_TPU_KNN_SEL", "auto"),
             "fps_kernel": _os.environ.get("TGN_TPU_KERNELS", "auto"),
             "fps_fold": _os.environ.get("TGN_TPU_FPS_FOLD", "1"),

@@ -24,11 +24,18 @@ _purity_window_jit = None
 # query slabs kNNs into a quantile-aligned window of _WIN_FRAC/_WIN_SLABS of
 # the sampled cloud instead of all of it — 16/5 cuts the dominant [Np, M]
 # selection traffic 3.2x. Window misses require a 40-NN radius larger than
-# ~2/16 of the cloud's axis span, which surface scans at 24k density never
-# approach (the 40-NN radius is ~sqrt(40/24000) of the extent); see
-# _purity_window_fn for the per-output exactness notes.
+# the window's slab margin (frac=5 → ±2 slabs ≈ 12.5% of the sampled mass;
+# frac=3 → ±1 slab ≈ 6.25%), vs a 40-NN radius of ~sqrt(40/24000) ≈ 2.3% of
+# the extent — surface scans at 24k density never approach either bound; see
+# _purity_window_fn for the per-output exactness notes. TGN_TPU_WIN_FRAC
+# overrides (odd values give symmetric margins; contract-tested at 3 and 5).
 _WIN_SLABS = 16
-_WIN_FRAC = 5
+
+
+def _win_frac() -> int:
+    import os
+
+    return int(os.environ.get("TGN_TPU_WIN_FRAC", "5"))
 
 # speculative non-boundary FPS quota fused into the purity program: the
 # boundary mask is computed IN-program, so the "fill the 24k cloud from the
@@ -119,7 +126,7 @@ def _purity_device_fn(org_xyz, sampled_xyz, labels, k: int,
 
 def _purity_window_fn(org_pad, sampled_xyz, labels, k: int,
                       bdl_ratio: float = 0.7, n_valid=None,
-                      qorder=None, ax=None):
+                      qorder=None, ax=None, win_frac: int | None = None):
     """Axis-windowed variant of :func:`_purity_device_fn` — same output
     contract ``(bd, nn1_lab, nn1, nn1_d2, fps_idx)``, ~3x cheaper at the
     production shape (the [Np, M] candidate axis shrinks to a
@@ -159,14 +166,14 @@ def _purity_window_fn(org_pad, sampled_xyz, labels, k: int,
         from ..ops.gather import index_points
 
         def fn(org_pad, sampled_xyz, labels, bdl_ratio, n_valid, qorder,
-               ax, k):
+               ax, k, win_frac):
             org = org_pad[:, :3].astype(jnp.float32)
             smp = sampled_xyz[:, :3].astype(jnp.float32)
             npad, m = org.shape[0], smp.shape[0]
             ns = _WIN_SLABS
             chunk_pad = npad // ns
-            win_w = min(m, -(-m * _WIN_FRAC // ns))
-            starts_py = [min(max((s - _WIN_FRAC // 2) * m // ns, 0),
+            win_w = min(m, -(-m * win_frac // ns))
+            starts_py = [min(max((s - win_frac // 2) * m // ns, 0),
                              m - win_w) for s in range(ns)]
 
             if ax is None:
@@ -253,16 +260,18 @@ def _purity_window_fn(org_pad, sampled_xyz, labels, k: int,
                 nn1_d2s.reshape(-1), mode="drop")
             return bd, nn1_lab, nn1, nn1_d2, fps_idx
 
-        _purity_window_jit = jax.jit(fn, static_argnames=("k",))
+        _purity_window_jit = jax.jit(fn, static_argnames=("k", "win_frac"))
     import jax.numpy as jnp
 
     if n_valid is None:
         n_valid = org_pad.shape[0]
     if ax is not None:
         ax = jnp.int32(ax)
+    if win_frac is None:
+        win_frac = _win_frac()
     return _purity_window_jit(org_pad, sampled_xyz, labels,
                               jnp.float32(bdl_ratio), jnp.int32(n_valid),
-                              qorder, ax, k=k)
+                              qorder, ax, k=k, win_frac=win_frac)
 
 
 def _boundary_purity(org_xyz: np.ndarray, sampled_xyz: np.ndarray,
