@@ -33,6 +33,14 @@ def device_path_scans_per_sec():
     import jax
     import jax.numpy as jnp
 
+    # the pipeline constructors enable this for the e2e half; the device-path
+    # loop compiles BEFORE any pipeline exists, so enable it here too (cold
+    # 24k compiles through the tunnel are ~10 min; the driver re-runs bench.py
+    # in a fresh process at end of round)
+    from toothgroupnetwork_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+
     from toothgroupnetwork_tpu.models import get_task
     from toothgroupnetwork_tpu.models.tgnet import TGNet, make_crops
 

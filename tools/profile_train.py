@@ -30,6 +30,12 @@ from toothgroupnetwork_tpu.train.trainer import make_train_step
 
 
 def build(dtype: str):
+    # Trainer normally enables the persistent XLA cache; this harness calls
+    # make_train_step directly, so enable it here (cold compiles of the 24k
+    # train step through the tunnel are minutes)
+    from toothgroupnetwork_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     task = get_task("tgnet_fps")
     config = task.default_config()
     if dtype == "bf16":
