@@ -28,6 +28,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from toothgroupnetwork_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+
     from toothgroupnetwork_tpu.ops.pallas.attention_kernel import (
         fused_vector_attention_packed_x, fold_attention_params)
     from toothgroupnetwork_tpu.models.point_transformer.backbone import (

@@ -259,16 +259,43 @@ def _packed_patterns(params, k: int, c: int, cs: int):
 
 
 def _packed_tiles(bn: int, kc: int, tile_rows: int | None, n_extra_mb: float):
-    """Row-tile size under the Mosaic scoped-vmem budget (~16 MB): ~6 live
-    [TR, KC] f32 slabs plus ``n_extra_mb`` of resident weights."""
+    """Row-tile size under a raised Mosaic scoped-vmem budget (r5): v5e has
+    128 MB of VMEM and Mosaic's DEFAULT ~16 MB cap left the kernel
+    LATENCY-bound — at B16/3072/K36/C32 the old 14 MB heuristic picked TR=128
+    → 384 sequential grid steps, each a dependency chain of ~10 small
+    matmuls, 22.9 ms measured vs a ~3-5 ms FLOP+traffic floor. Bigger tiles
+    amortize the chain; the wrappers pass the matching
+    ``CompilerParams(vmem_limit_bytes=...)``. ``TGN_TPU_ATTN_TR`` overrides
+    (sweepable); ~6 live [TR, KC] f32 slabs + ``n_extra_mb`` resident
+    weights is the budget model."""
+    import os
+
+    if tile_rows is None and os.environ.get("TGN_TPU_ATTN_TR"):
+        tile_rows = int(os.environ["TGN_TPU_ATTN_TR"])
     if tile_rows is None:
-        # ~16 MB scoped vmem: leave the resident weights/patterns their share
-        # and split the rest across ~6 live [TR, KC] f32 slabs
-        budget = max(1 << 19, (14 << 20) - int(n_extra_mb * (1 << 20)))
-        tile_rows = max(8, min(128, budget // (6 * 4 * max(kc, 128))))
+        budget = max(1 << 19, (_SCOPED_MB << 20) - int(n_extra_mb * (1 << 20)))
+        tile_rows = max(8, min(_TR_CAP, budget // (6 * 4 * max(kc, 128))))
         tile_rows -= tile_rows % 8
     tr = min(tile_rows, -(-bn // 8) * 8)
     return tr, -(-bn // tr)
+
+
+# Scoped-VMEM budget (MB) the tile heuristic plans against and the cap on
+# auto-picked tile rows. 48 MB / TR<=512 keep the double-buffered grid
+# inputs + resident kron weights + live slabs comfortably inside the 128 MB
+# v5e VMEM (measured safe at the flagship shapes; TGN_TPU_ATTN_TR sweeps).
+_SCOPED_MB = 48
+_TR_CAP = 512
+
+
+def _packed_compiler_params(tr: int, kc: int, kcin: int, n_extra_mb: float):
+    """Mosaic vmem limit sized to the tile plan (double-buffered grid inputs
+    + residents + ~6 live f32 slabs), clamped to [32, 100] MB."""
+    need = (2 * tr * (kc + kcin) * 4            # double-buffered in/out rows
+            + int(n_extra_mb * (1 << 20))       # resident weights/patterns
+            + 6 * tr * max(kc, 128) * 4)        # live temporaries
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(need * 2, 32 << 20), 100 << 20)))
 
 
 @partial(jax.jit, static_argnames=("k", "tile_rows"))
@@ -310,6 +337,7 @@ def fused_vector_attention_packed(q, k_g, v_g, p_r, params, *, k: int,
         out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, c), jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
+        compiler_params=_packed_compiler_params(tr, kc, 2 * kc, 2.0),
     )(q, k2, v2, pr2, *pats)
     return out[:bn]
 
@@ -376,6 +404,7 @@ def fused_vector_attention_packed_x(q, x_g, p_r, params, *, k: int,
         out_specs=pl.BlockSpec((tr, c), row_spec, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, c), out_dtype or jnp.float32),
         interpret=jax.default_backend() not in ("tpu", "axon"),
+        compiler_params=_packed_compiler_params(tr, kc, kcin, 2.0 + extra_mb),
     )(q, x2, pr2, wkk, bk2, wvk, bv2, *pats)
     return out[:bn]
 
